@@ -1,0 +1,119 @@
+"""Per-column codec auto-selection.
+
+Replaces the reference's hardwired ``Encoding::Plain`` + page codec
+(/root/reference/skar/src/write_parquet.rs:49-53,232-244) with a
+sampling selector: stride-sample K rows of the column, encode the
+sample with every admissible codec (including the zstd page pass the
+container applies), and pick the minimum estimated bytes.  The choice
+and the per-candidate estimates are recorded in the partition manifest.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from . import base
+from . import plain, dictionary, rle, for_bitpack, fsst  # noqa: F401  (register codecs)
+
+ZSTD_LEVEL = 9  # mirror of skar's Zstd(9) pages (write_parquet.rs:239)
+_SAMPLE_ROWS = 1024
+
+
+def candidates_for(t: pa.DataType) -> list[str]:
+    if base.is_string_like(t):
+        return ["rle", "dict", "fsst", "plain"]
+    if base.is_int_like(t) or pa.types.is_boolean(t):
+        return ["for_bitpack", "rle", "dict", "plain"]
+    if pa.types.is_floating(t):
+        return ["rle", "dict", "plain"]
+    return ["plain"]
+
+
+def _zstd() -> pa.Codec:
+    return pa.Codec("zstd", compression_level=ZSTD_LEVEL)
+
+
+def page_compress(payload: bytes) -> tuple[bytes, str]:
+    """zstd the payload, keep whichever is smaller."""
+    if len(payload) == 0:
+        return payload, "raw"
+    z = _zstd().compress(payload).to_pybytes()
+    if len(z) < len(payload):
+        return z, "zstd"
+    return payload, "raw"
+
+
+def page_decompress(blob: bytes, page: str, raw_len: int) -> bytes:
+    if page == "raw":
+        return blob
+    return _zstd().decompress(blob, raw_len).to_pybytes()
+
+
+def raw_size_of(arr: pa.Array) -> int:
+    return sum(b.size for b in arr.buffers() if b is not None)
+
+
+@dataclass
+class Encoded:
+    codec: str
+    meta: dict
+    blob: bytes
+    page: str          # "raw" | "zstd"
+    payload_len: int   # pre-page-compression payload bytes
+    raw_bytes: int     # arrow buffer bytes of the source column
+    estimates: dict = field(default_factory=dict)
+
+    @property
+    def enc_bytes(self) -> int:
+        return len(self.blob)
+
+
+def select_codec(arr: pa.Array, sample_rows: int = _SAMPLE_ROWS) -> tuple[str, dict]:
+    """Return (winner, per-candidate estimated bytes on the sample)."""
+    n = len(arr)
+    if n == 0:
+        return "plain", {}
+    if n > sample_rows:
+        idx = np.linspace(0, n - 1, sample_rows).astype(np.int64)
+        sample = arr.take(pa.array(idx))
+    else:
+        sample = arr
+    estimates: dict[str, int] = {}
+    for name in candidates_for(arr.type):
+        try:
+            payload, _ = base.encode_array(sample, name)
+            z, _page = page_compress(payload)
+            estimates[name] = len(z)
+        except Exception:
+            continue
+    if not estimates:
+        return "plain", estimates
+    winner = min(estimates.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    return winner, estimates
+
+
+def encode_column(arr: pa.Array, codec_name: str | None = None) -> Encoded:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    estimates: dict = {}
+    if codec_name is None:
+        codec_name, estimates = select_codec(arr)
+    payload, meta = base.encode_array(arr, codec_name)
+    blob, page = page_compress(payload)
+    return Encoded(
+        codec=codec_name,
+        meta=meta,
+        blob=blob,
+        page=page,
+        payload_len=len(payload),
+        raw_bytes=raw_size_of(arr),
+        estimates=estimates,
+    )
+
+
+def decode_column(enc_blob: bytes, meta: dict, page: str, payload_len: int) -> pa.Array:
+    payload = page_decompress(enc_blob, page, payload_len)
+    return base.decode_array(payload, meta)

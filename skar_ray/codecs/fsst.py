@@ -1,0 +1,212 @@
+"""FSST-style static-symbol-table codec for string/binary columns.
+
+Built from scratch following the published FSST idea (Boncz, Neumann,
+Leis: "FSST: Fast Random Access String Compression", VLDB 2020): a
+small table of byte-sequence symbols (1..8 bytes) is trained per
+partition on a sample, and the column's value bytes are rewritten as
+1-byte codes.  This replaces the generic page compression the reference
+relies on (Plain encoding + Zstd(9) pages,
+/root/reference/skar/src/write_parquet.rs:49-53,232-244) with a
+column-aware lightweight scheme; the container's zstd page pass can
+still run on top of the code stream.
+
+Code-space layout (chosen so ASCII text needs no escapes):
+- ``0x00..0x7F``  — literal passthrough: the code IS the byte.
+- ``0x80..0xFE``  — up to 127 learned symbols.
+- ``0xFF``        — escape: next byte is a literal ``>= 0x80`` byte
+                    that is not covered by a learned symbol.
+
+Because the whole concatenated value buffer is encoded in one pass
+(symbols may span row boundaries — decode restores the exact byte
+stream), row boundaries are carried by the original lengths,
+FoR+bit-packed separately.  Training is vectorised (sliding-window
+``np.unique`` n-gram counting); encoding uses one compiled regex
+alternation (C-speed scan); decoding is a vectorised padded-gather.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from . import base
+from .for_bitpack import pack_ints_with_reference, unpack_ints_with_reference
+
+MAX_SYMBOLS = 127
+FIRST_CODE = 0x80
+ESCAPE = 0xFF
+_MAX_LEN = 8
+
+
+def train_symbols(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
+    """Pick up to `max_symbols` byte sequences maximising estimated savings."""
+    if len(sample) < 4:
+        return []
+    buf = np.frombuffer(sample, dtype=np.uint8)
+    candidates: list[tuple[int, bytes]] = []
+    # frequent high bytes: encoding one as a symbol saves the escape byte
+    hi_vals, hi_counts = np.unique(buf[buf >= 0x80], return_counts=True)
+    for v, c in zip(hi_vals.tolist(), hi_counts.tolist()):
+        if c >= 4:
+            candidates.append((c, bytes([v])))
+    for L in range(2, _MAX_LEN + 1):
+        if len(buf) <= L:
+            break
+        win = np.lib.stride_tricks.sliding_window_view(buf, L)
+        # subsample long windows for speed: stride so we scan <= ~1M windows
+        step = max(1, len(win) // (1 << 20))
+        win = win[::step]
+        view = np.ascontiguousarray(win).view(np.dtype((np.void, L))).ravel()
+        uniq, counts = np.unique(view, return_counts=True)
+        if len(uniq) == 0:
+            continue
+        top = np.argsort(counts)[::-1][:256]
+        for i in top:
+            c = int(counts[i]) * step
+            if c < 4:
+                break
+            candidates.append((c * (L - 1), uniq[i].tobytes()))
+    candidates.sort(key=lambda t: (-t[0], t[1]))
+    out: list[bytes] = []
+    seen: set[bytes] = set()
+    for _, sym in candidates:
+        if sym in seen:
+            continue
+        seen.add(sym)
+        out.append(sym)
+        if len(out) >= max_symbols:
+            break
+    return out
+
+
+class SymbolTable:
+    def __init__(self, symbols: list[bytes]):
+        self.symbols = symbols
+        self.code_of = {s: FIRST_CODE + i for i, s in enumerate(symbols)}
+        if symbols:
+            parts = sorted(symbols, key=len, reverse=True)
+            pattern = b"|".join(re.escape(s) for s in parts) + b"|[\\x80-\\xff]"
+        else:
+            pattern = b"[\\x80-\\xff]"
+        self._re = re.compile(pattern, re.DOTALL)
+        # decode tables: padded symbol matrix + lengths, indexed by code
+        pad = np.zeros((256, _MAX_LEN), dtype=np.uint8)
+        lens = np.zeros(256, dtype=np.int64)
+        for b in range(0x80):
+            pad[b, 0] = b
+            lens[b] = 1
+        for i, s in enumerate(symbols):
+            a = np.frombuffer(s, dtype=np.uint8)
+            pad[FIRST_CODE + i, : len(a)] = a
+            lens[FIRST_CODE + i] = len(a)
+        self._pad = pad
+        self._lens = lens
+
+    def serialize(self) -> bytes:
+        return base.pack_sections(*self.symbols) if self.symbols else base.pack_sections()
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "SymbolTable":
+        return cls(base.unpack_sections(blob))
+
+    # ------------------------------------------------------------ encode
+
+    def encode_buffer(self, data: bytes) -> bytes:
+        code_of = self.code_of
+
+        def repl(m: re.Match) -> bytes:
+            s = m.group(0)
+            c = code_of.get(s)
+            if c is not None:
+                return bytes((c,))
+            return b"\xff" + s  # escape a single high byte
+
+        return self._re.sub(repl, data)
+
+    # ------------------------------------------------------------ decode
+
+    def _expand(self, codes: np.ndarray) -> bytes:
+        """Vectorised expansion of an escape-free code segment."""
+        if len(codes) == 0:
+            return b""
+        out = []
+        CH = 1 << 22  # bound temp matrix to ~32 MB
+        for s in range(0, len(codes), CH):
+            seg = codes[s : s + CH]
+            lens = self._lens[seg]
+            mask = np.arange(_MAX_LEN) < lens[:, None]
+            out.append(self._pad[seg][mask].tobytes())
+        return b"".join(out)
+
+    def decode_buffer(self, enc: bytes) -> bytes:
+        codes = np.frombuffer(enc, dtype=np.uint8)
+        cand = np.flatnonzero(codes == ESCAPE)
+        if len(cand) == 0:
+            return self._expand(codes)
+        # sequential scan over escape candidates (rare): a candidate at p
+        # is a real marker unless it is the literal of the marker at p-1
+        markers = []
+        skip_until = -1
+        for p in cand.tolist():
+            if p < skip_until:
+                continue
+            markers.append(p)
+            skip_until = p + 2
+        parts = []
+        prev = 0
+        for p in markers:
+            parts.append(self._expand(codes[prev:p]))
+            parts.append(enc[p + 1 : p + 2])  # the escaped literal byte
+            prev = p + 2
+        parts.append(self._expand(codes[prev:]))
+        return b"".join(parts)
+
+
+class FsstCodec:
+    name = "fsst"
+
+    def __init__(self, sample_bytes: int = 1 << 18):
+        self.sample_bytes = sample_bytes
+
+    def can_encode(self, t: pa.DataType) -> bool:
+        return base.is_string_like(t)
+
+    def make_table(self, data: bytes) -> SymbolTable:
+        if len(data) > self.sample_bytes:
+            # stride-sample contiguous slices across the buffer
+            k = 16
+            piece = self.sample_bytes // k
+            stride = len(data) // k
+            sample = b"".join(data[i * stride : i * stride + piece] for i in range(k))
+        else:
+            sample = data
+        return SymbolTable(train_symbols(sample))
+
+    def encode(self, arr: pa.Array, table: SymbolTable | None = None) -> tuple[bytes, dict]:
+        nulls, filled = base.split_nulls(arr)
+        lengths, data = base.strings_to_buffers(filled)
+        if table is None:
+            table = self.make_table(data)
+        enc = table.encode_buffer(data)
+        lens_payload, lens_meta = pack_ints_with_reference(lengths)
+        meta = {
+            "lens_meta": lens_meta,
+            "n_syms": len(table.symbols),
+            "has_nulls": nulls is not None,
+        }
+        payload = base.pack_sections(nulls or b"", lens_payload, table.serialize(), enc)
+        return payload, meta
+
+    def decode(self, payload: bytes, meta: dict, n: int) -> pa.Array:
+        t = base.type_from_name(meta["type"])
+        nulls_b, lens_payload, table_blob, enc = base.unpack_sections(payload)
+        table = SymbolTable.deserialize(table_blob)
+        lengths = unpack_ints_with_reference(lens_payload, meta["lens_meta"], n)
+        data = table.decode_buffer(enc)
+        arr = base.strings_from_buffers(lengths.astype(np.int64), data, t)
+        return base.apply_nulls(arr, nulls_b if meta.get("has_nulls") else None, n)
+
+
+base.register(FsstCodec())

@@ -1,0 +1,60 @@
+"""Plain codec — raw buffers, the universal fallback.
+
+Mirrors the reference's ``Encoding::Plain`` column path
+(/root/reference/skar/src/write_parquet.rs:49-53): no lightweight
+transform, leaving all compression to the container's zstd page pass.
+Every Arrow type the engine supports round-trips through here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import base
+
+
+class PlainCodec:
+    name = "plain"
+
+    def can_encode(self, t: pa.DataType) -> bool:
+        return base.is_string_like(t) or base.is_numeric(t)
+
+    def encode(self, arr: pa.Array) -> tuple[bytes, dict]:
+        nulls, filled = base.split_nulls(arr)
+        meta: dict = {}
+        if base.is_string_like(arr.type):
+            lengths, data = base.strings_to_buffers(filled)
+            payload = base.pack_sections(
+                nulls or b"", lengths.astype(np.int64).tobytes(), data
+            )
+        elif pa.types.is_boolean(arr.type):
+            bits = np.packbits(base.ints_to_numpy(filled).astype(bool))
+            payload = base.pack_sections(nulls or b"", bits.tobytes())
+        else:
+            vals = base.ints_to_numpy(filled)
+            payload = base.pack_sections(nulls or b"", vals.tobytes())
+            meta["dtype"] = vals.dtype.str
+        meta["has_nulls"] = nulls is not None
+        return payload, meta
+
+    def decode(self, payload: bytes, meta: dict, n: int) -> pa.Array:
+        t = base.type_from_name(meta["type"])
+        sections = base.unpack_sections(payload)
+        nulls = sections[0] if meta.get("has_nulls") else None
+        if base.is_string_like(t):
+            lengths = np.frombuffer(sections[1], dtype=np.int64)
+            arr = base.strings_from_buffers(lengths, sections[2], t)
+        elif pa.types.is_boolean(t):
+            bits = np.unpackbits(np.frombuffer(sections[1], dtype=np.uint8), count=n).astype(bool)
+            arr = pa.array(bits, type=t)
+        else:
+            vals = np.frombuffer(sections[1], dtype=np.dtype(meta["dtype"]))
+            if pa.types.is_timestamp(t):
+                arr = pa.array(vals.view(np.int64), type=pa.int64()).cast(t)
+            else:
+                arr = pa.array(vals, type=t)
+        return base.apply_nulls(arr, nulls, n)
+
+
+base.register(PlainCodec())

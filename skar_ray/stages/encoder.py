@@ -1,0 +1,199 @@
+"""Partition encode stage — sort, chunk, auto-select, write, manifest.
+
+One invocation handles one partition (the output of
+``groupby("pkey")``), mirroring the reference's per-folder flush
+(/root/reference/skar/src/skar_runner.rs:285-331):
+
+1. lexsort the partition by (repo, path, commit) — skar's pre-write
+   lexsort (write_parquet.rs:22-35,131-153) — which turns repo/lang/
+   commit into long runs for RLE/dict;
+2. compute per-row sha256(content) and the partition digest (the
+   analog of skar's logs_bloom revalidation source);
+3. slice into size-capped chunks by cumulative content bytes (row-group
+   slicing analog, write_parquet.rs:83-103) so FSST/zstd buffers stay
+   bounded;
+4. per chunk, per column: auto-select a codec and encode;
+5. write `part-NNNNNN.skarc` + manifest row atomically (temp+rename,
+   skar_runner.rs:296-321).
+
+Also provides ``ShardEncoder``, an actor-pool variant for the
+no-shuffle fast path: each *input block* is treated as a partition
+(partition id = deterministic block fingerprint), encoded by a pool of
+stateful actors via ``map_batches(ShardEncoder, concurrency=N)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state import container, manifest
+from .partitioner import content_sizes
+
+SORT_KEYS = ["repo", "path", "commit"]
+
+
+def lexsort(table: pa.Table, keys: list[str] = SORT_KEYS) -> pa.Table:
+    keys = [k for k in keys if k in table.column_names]
+    if not keys:
+        return table
+    idx = pc.sort_indices(table, sort_keys=[(k, "ascending") for k in keys])
+    return table.take(idx)
+
+
+def row_sha256(table: pa.Table, column: str = "content") -> list[bytes]:
+    col = table.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    from ..codecs.base import strings_to_buffers
+
+    lengths, data = strings_to_buffers(col)
+    mv = memoryview(data)
+    offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    return [hashlib.sha256(mv[offs[i] : offs[i + 1]]).digest() for i in range(len(lengths))]
+
+
+def partition_digest(row_digests: list[bytes]) -> str:
+    h = hashlib.sha256()
+    for d in row_digests:
+        h.update(d)
+    return h.hexdigest()
+
+
+def chunk_slices(table: pa.Table, target_bytes: int, column: str = "content") -> list[tuple[int, int]]:
+    """(offset, length) slices with ~target_bytes of content each."""
+    n = table.num_rows
+    if n == 0:
+        return []
+    if column not in table.column_names:
+        per = max(1, target_bytes // 64)
+        return [(i, min(per, n - i)) for i in range(0, n, per)]
+    sizes = content_sizes(table, column)
+    cum = np.cumsum(sizes)
+    slices = []
+    start = 0
+    while start < n:
+        limit = (cum[start - 1] if start else 0) + target_bytes
+        end = int(np.searchsorted(cum, limit, side="left")) + 1
+        end = max(end, start + 1)
+        end = min(end, n)
+        slices.append((start, end - start))
+        start = end
+    return slices
+
+
+def encode_partition(
+    group: pa.Table,
+    out_dir: str,
+    chunk_target_bytes: int = 32 << 20,
+    input_fingerprint: str = "",
+    codec_overrides: dict[str, str] | None = None,
+) -> pa.Table:
+    """Encode one partition; returns a 1-row summary table."""
+    t0 = time.time()
+    pid = int(group.column("pkey")[0].as_py()) if "pkey" in group.column_names else 0
+    data = group.drop_columns(["pkey"]) if "pkey" in group.column_names else group
+    data = lexsort(data)
+
+    digests = row_sha256(data) if "content" in data.column_names else []
+    pdigest = partition_digest(digests)
+
+    slices = chunk_slices(data, chunk_target_bytes)
+    fname = f"part-{pid:06d}.skarc"
+    os.makedirs(out_dir, exist_ok=True)
+    header = container.write_container(
+        os.path.join(out_dir, fname),
+        data,
+        chunk_rows=slices,
+        codec_overrides=codec_overrides,
+        extra={"partition_id": pid, "sort_keys": SORT_KEYS},
+    )
+
+    col_stats: dict[str, dict] = {}
+    raw_total = enc_total = 0
+    for ch in header["chunks"]:
+        for cm in ch["columns"]:
+            st = col_stats.setdefault(cm["name"], {"codec": cm["codec"], "raw_bytes": 0, "enc_bytes": 0})
+            st["raw_bytes"] += cm["raw_bytes"]
+            st["enc_bytes"] += cm["length"]
+            raw_total += cm["raw_bytes"]
+            enc_total += cm["length"]
+
+    m = manifest.PartitionManifest(
+        partition_id=pid,
+        status="done",
+        n_rows=data.num_rows,
+        n_chunks=len(header["chunks"]),
+        data_file=fname,
+        raw_bytes=raw_total,
+        enc_bytes=enc_total,
+        content_sha256=pdigest,
+        columns=col_stats,
+        input_fingerprint=input_fingerprint,
+        wall_s=round(time.time() - t0, 4),
+    )
+    manifest.write_manifest(out_dir, m)
+    return pa.table(
+        {
+            "partition_id": pa.array([pid], type=pa.int64()),
+            "n_rows": pa.array([data.num_rows], type=pa.int64()),
+            "raw_bytes": pa.array([raw_total], type=pa.int64()),
+            "enc_bytes": pa.array([enc_total], type=pa.int64()),
+            "content_sha256": pa.array([pdigest]),
+            "skipped": pa.array([False]),
+        }
+    )
+
+
+class ShardEncoder:
+    """Actor-pool encoder for the no-shuffle path (partition = input block).
+
+    Stateful setup (codec registry, zstd context) happens once per actor
+    in ``__init__``; ``__call__`` encodes each incoming block as its own
+    partition whose id is derived from the block's content fingerprint —
+    deterministic, so resume works without a shuffle.  Used via
+    ``ds.map_batches(ShardEncoder, fn_constructor_kwargs=..., concurrency=N,
+    batch_size=None, batch_format="pyarrow")``.
+    """
+
+    def __init__(self, out_dir: str, chunk_target_bytes: int = 32 << 20,
+                 input_fingerprint: str = "", done_ids: frozenset[int] = frozenset()):
+        # warm the codec registry + zstd context once per actor
+        from ..codecs import auto  # noqa: F401
+
+        self.out_dir = out_dir
+        self.chunk_target_bytes = chunk_target_bytes
+        self.input_fingerprint = input_fingerprint
+        self.done_ids = done_ids
+
+    def _block_pid(self, batch: pa.Table) -> int:
+        h = hashlib.sha256()
+        first = batch.slice(0, 1)
+        h.update(str(first.to_pydict()).encode())
+        h.update(str(batch.num_rows).encode())
+        return int.from_bytes(h.digest()[:6], "big")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pid = self._block_pid(batch)
+        if pid in self.done_ids:
+            m = manifest.read_manifest(self.out_dir, pid)
+            return pa.table(
+                {
+                    "partition_id": pa.array([pid], type=pa.int64()),
+                    "n_rows": pa.array([m.n_rows], type=pa.int64()),
+                    "raw_bytes": pa.array([m.raw_bytes], type=pa.int64()),
+                    "enc_bytes": pa.array([m.enc_bytes], type=pa.int64()),
+                    "content_sha256": pa.array([m.content_sha256]),
+                    "skipped": pa.array([True]),
+                }
+            )
+        batch = batch.append_column("pkey", pa.array(np.full(batch.num_rows, pid), type=pa.int64()))
+        return encode_partition(
+            batch, self.out_dir, self.chunk_target_bytes, self.input_fingerprint
+        )

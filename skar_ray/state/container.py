@@ -1,0 +1,121 @@
+"""`.skarc` container — one file per partition of encoded columns.
+
+Layout: ``b"SKRC1\\n"`` magic, u64 little-endian header length, JSON
+header, blob area.  The header holds the schema and, per chunk ("row
+group" analog — the reference slices sorted chunks into 10k-row row
+groups, /root/reference/skar/src/write_parquet.rs:83-103), per column:
+codec name, codec meta, page codec, offsets into the blob area and the
+size triple (raw arrow bytes / codec payload bytes / final blob bytes).
+
+Written atomically: the caller writes to ``<path>.tmp`` and renames —
+the reference's temp-folder + rename publish step
+(/root/reference/skar/src/skar_runner.rs:296-321).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import pyarrow as pa
+
+from ..codecs import auto, base
+
+MAGIC = b"SKRC1\n"
+
+
+def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]] | None = None,
+                    codec_overrides: dict[str, str] | None = None,
+                    extra: dict | None = None) -> dict:
+    """Encode `table` chunk-by-chunk and write the container atomically.
+
+    ``chunk_rows`` is a list of (offset, length) slices; default one
+    chunk.  Returns the header dict (with per-column byte accounting).
+    """
+    if chunk_rows is None:
+        chunk_rows = [(0, table.num_rows)]
+    codec_overrides = codec_overrides or {}
+    chunks_meta = []
+    blobs: list[bytes] = []
+    blob_off = 0
+    for (off, ln) in chunk_rows:
+        sl = table.slice(off, ln)
+        cols_meta = []
+        for name in table.column_names:
+            col = sl.column(name)
+            enc = auto.encode_column(col, codec_overrides.get(name))
+            cols_meta.append(
+                {
+                    "name": name,
+                    "codec": enc.codec,
+                    "meta": enc.meta,
+                    "page": enc.page,
+                    "offset": blob_off,
+                    "length": len(enc.blob),
+                    "payload_len": enc.payload_len,
+                    "raw_bytes": enc.raw_bytes,
+                    "estimates": enc.estimates,
+                }
+            )
+            blobs.append(enc.blob)
+            blob_off += len(enc.blob)
+        chunks_meta.append({"n_rows": ln, "columns": cols_meta})
+    header = {
+        "version": 1,
+        "schema": [[f.name, str(f.type)] for f in table.schema],
+        "chunks": chunks_meta,
+        "extra": extra or {},
+    }
+    hjson = json.dumps(header).encode("utf-8")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<Q", len(hjson)))
+        f.write(hjson)
+        for b in blobs:
+            f.write(b)
+    os.replace(tmp, path)
+    return header
+
+
+def read_header(path: str) -> tuple[dict, int]:
+    with open(path, "rb") as f:
+        magic = f.read(len(MAGIC))
+        if magic != MAGIC:
+            raise ValueError(f"bad container magic in {path}")
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen).decode("utf-8"))
+    return header, len(MAGIC) + 8 + hlen
+
+
+def read_container(path: str, columns: list[str] | None = None,
+                   chunk_indices: list[int] | None = None) -> pa.Table:
+    """Decode a container back to a pyarrow Table (projected, chunk-pruned).
+
+    Mirrors the reference's projected + row-group-pruned Parquet reader
+    (/root/reference/skar/src/query/data_provider.rs:121-183).
+    """
+    header, blob_start = read_header(path)
+    schema_cols = [name for name, _ in header["schema"]]
+    want = columns or schema_cols
+    chunks = header["chunks"]
+    if chunk_indices is not None:
+        chunks = [chunks[i] for i in chunk_indices]
+    arrays: dict[str, list[pa.Array]] = {name: [] for name in want}
+    with open(path, "rb") as f:
+        for ch in chunks:
+            for cm in ch["columns"]:
+                if cm["name"] not in arrays:
+                    continue
+                f.seek(blob_start + cm["offset"])
+                blob = f.read(cm["length"])
+                arr = auto.decode_column(blob, cm["meta"], cm["page"], cm["payload_len"])
+                arrays[cm["name"]].append(arr)
+    type_by_name = dict(header["schema"])
+    out = {}
+    for name in want:
+        parts = arrays[name]
+        t = base.type_from_name(type_by_name[name])
+        out[name] = pa.chunked_array(parts) if parts else pa.chunked_array([], type=t)
+    return pa.table(out)
