@@ -1,0 +1,126 @@
+"""End-to-end encode → decode round-trip on the golden corpus.
+
+The analog of the reference's end-to-end test feeding real block JSON
+through columnarize → write → re-read → recompute logs_bloom
+(/root/reference/skar/src/tests.rs:24-85): seeded corpus → encode →
+decode → bit-identical table + per-row sha256 equality + size ≤ the
+pyarrow zstd Parquet oracle.
+"""
+
+import hashlib
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from skar_ray.corpus import ensure_corpus
+from skar_ray.pipelines.decode_job import decoded_dataset, run_verify_job
+from skar_ray.pipelines.encode_job import run_encode_job
+from skar_ray.stages.partitioner import make_plan, repo_size_prepass
+from skar_ray.state import manifest
+
+N_ROWS = 2000
+OUT = "/tmp/skar_pytest_out"
+
+
+@pytest.fixture(scope="module")
+def corpus_dir():
+    return ensure_corpus(N_ROWS)
+
+
+@pytest.fixture(scope="module")
+def encoded(ray_session, corpus_dir):
+    shutil.rmtree(OUT, ignore_errors=True)
+    corpus = os.path.join(corpus_dir, "corpus.parquet")
+    summary = run_encode_job(corpus, OUT, target_partition_bytes=2 << 20, chunk_target_bytes=1 << 20)
+    return corpus, summary
+
+
+def _normalize(t: pa.Table) -> pa.Table:
+    idx = pc.sort_indices(t, sort_keys=[(k, "ascending") for k in ["repo", "path", "commit", "content"]])
+    return t.take(idx).combine_chunks()
+
+
+def test_roundtrip_bit_identical(encoded):
+    corpus, _ = encoded
+    src = pq.read_table(corpus)
+    dec = decoded_dataset(OUT, verify=True).to_pandas()
+    got = _normalize(pa.Table.from_pandas(dec).cast(src.schema))
+    want = _normalize(src)
+    assert got.num_rows == want.num_rows
+    for col in want.column_names:
+        assert got.column(col).equals(want.column(col)), f"column {col} differs"
+
+
+def test_per_row_sha256_equality(encoded):
+    corpus, _ = encoded
+    src = pq.read_table(corpus, columns=["content"])
+    want = sorted(hashlib.sha256(v.as_py().encode()).hexdigest() for v in src.column("content"))
+    dec = decoded_dataset(OUT, columns=["content"]).to_pandas()
+    got = sorted(hashlib.sha256(v.encode()).hexdigest() for v in dec["content"])
+    assert got == want
+
+
+def test_size_beats_reference_zstd(encoded, corpus_dir):
+    _, summary = encoded
+    enc_total = pc.sum(summary.column("enc_bytes")).as_py()
+    ref = os.path.getsize(os.path.join(corpus_dir, "reference_zstd.parquet"))
+    assert enc_total <= ref, f"encoded {enc_total} > reference zstd parquet {ref}"
+
+
+def test_verify_job(encoded):
+    corpus, _ = encoded
+    v = run_verify_job(corpus, OUT)
+    assert v["rows_match"] and v["digests_verified"]
+
+
+def test_manifest_lineage(encoded):
+    ms = manifest.scan_manifests(OUT)
+    assert ms
+    for m in ms.values():
+        assert m.status == "done"
+        assert set(m.columns) == {"repo", "path", "commit", "lang", "content"}
+        for st in m.columns.values():
+            assert st["codec"] in ("plain", "dict", "rle", "for_bitpack", "fsst")
+        assert m.enc_bytes > 0 and m.raw_bytes > 0
+        assert len(m.content_sha256) == 64
+
+
+def test_skew_giant_repo_is_split(ray_session, corpus_dir):
+    """The zipf giant repo (~30% of rows) must be salted across >1 partition."""
+    import ray.data
+
+    corpus = os.path.join(corpus_dir, "corpus.parquet")
+    ds = ray.data.read_parquet(corpus)
+    target = 1 << 20
+    plan = make_plan(repo_size_prepass(ds, target), target)
+    giant = max(plan.repos.items(), key=lambda kv: kv[1][1])
+    assert giant[1][1] > 1, f"giant repo not split: {plan.repos}"
+    # and no partition id collides across split buckets
+    seen = set()
+    for r, (start, nb) in plan.repos.items():
+        for b in range(nb):
+            if nb > 1:
+                assert start + b not in seen
+                seen.add(start + b)
+
+
+def test_resume_skips_done_partitions(ray_session, encoded):
+    corpus, first = encoded
+    before = {
+        f: os.path.getmtime(os.path.join(OUT, f))
+        for f in os.listdir(OUT)
+        if f.endswith(".skarc")
+    }
+    summary = run_encode_job(corpus, OUT, target_partition_bytes=2 << 20, chunk_target_bytes=1 << 20)
+    skipped = summary.filter(pc.field("skipped")).num_rows
+    assert skipped == summary.num_rows, "all partitions should resume from manifest"
+    after = {
+        f: os.path.getmtime(os.path.join(OUT, f))
+        for f in os.listdir(OUT)
+        if f.endswith(".skarc")
+    }
+    assert before == after, "resume must not rewrite finished partitions"

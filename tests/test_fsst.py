@@ -1,0 +1,96 @@
+"""FSST symbol-table specifics: training, escapes, buffer round-trips."""
+
+import numpy as np
+import pyarrow as pa
+
+from skar_ray.codecs.fsst import FsstCodec, SymbolTable, train_symbols, ESCAPE
+
+
+def test_train_learns_repeated_tokens():
+    sample = b"def return def return import numpy as np " * 200
+    syms = train_symbols(sample)
+    assert syms, "should learn symbols from repetitive text"
+    assert any(len(s) >= 4 for s in syms)
+
+
+def test_encode_shrinks_code_text():
+    data = b"for i in range(n):\n    total += values[i]\n" * 500
+    t = SymbolTable(train_symbols(data))
+    enc = t.encode_buffer(data)
+    assert len(enc) < len(data) * 0.6
+    assert t.decode_buffer(enc) == data
+
+
+def test_high_bytes_escape_roundtrip():
+    # bytes >= 0x80 not learned as symbols must escape cleanly
+    data = bytes(range(256)) * 3 + b"\xff\xff\xff" + b"ascii tail"
+    t = SymbolTable(train_symbols(b"no high bytes here at all, plain ascii text"))
+    enc = t.encode_buffer(data)
+    assert t.decode_buffer(enc) == data
+
+
+def test_escape_literal_is_escape_byte():
+    t = SymbolTable([])
+    data = b"\xff" * 10 + b"a\xffb"
+    enc = t.encode_buffer(data)
+    assert enc.count(bytes([ESCAPE])) >= 11
+    assert t.decode_buffer(enc) == data
+
+
+def test_empty_and_tiny():
+    t = SymbolTable([])
+    assert t.decode_buffer(t.encode_buffer(b"")) == b""
+    assert t.decode_buffer(t.encode_buffer(b"a")) == b"a"
+
+
+def test_serialize_roundtrip():
+    syms = train_symbols(b"token stream token stream token" * 100)
+    t = SymbolTable(syms)
+    t2 = SymbolTable.deserialize(t.serialize())
+    data = b"token stream and more token stream"
+    assert t2.decode_buffer(t.encode_buffer(data)) == data
+
+
+def test_symbols_spanning_row_boundaries():
+    """Whole-buffer encoding means symbols may cross row boundaries;
+    original lengths must still slice the decoded buffer correctly."""
+    codec = FsstCodec()
+    rows = ["abcdef"] * 100 + ["defabc"] * 100  # 'fabc'/'cdef' span rows when concatenated
+    arr = pa.array(rows)
+    payload, meta = codec.encode(arr)
+    meta["type"] = str(arr.type)
+    meta["n"] = len(arr)
+    out = codec.decode(payload, meta, len(arr))
+    assert out.equals(arr)
+
+
+def test_unicode_content():
+    codec = FsstCodec()
+    arr = pa.array(["λ calculus → Ω" * 50, "漢字テキスト" * 30, "plain ascii"] * 10)
+    payload, meta = codec.encode(arr)
+    meta["type"] = str(arr.type)
+    meta["n"] = len(arr)
+    assert codec.decode(payload, meta, len(arr)).equals(arr)
+
+
+def test_decode_vectorized_matches_naive():
+    syms = train_symbols(b"the quick brown fox jumps over the lazy dog " * 50)
+    t = SymbolTable(syms)
+    data = b"the quick brown fox " * 37 + bytes([0x80, 0x81, 0xFF]) + b" tail"
+    enc = t.encode_buffer(data)
+    # naive decode
+    out = bytearray()
+    i = 0
+    while i < len(enc):
+        c = enc[i]
+        if c == ESCAPE:
+            out.append(enc[i + 1])
+            i += 2
+        elif c >= 0x80:
+            out.extend(t.symbols[c - 0x80])
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    assert bytes(out) == data
+    assert t.decode_buffer(enc) == data
