@@ -1,0 +1,233 @@
+"""skar query-API analogs over the testdata tables, Ray-Data-first.
+
+Each function mirrors one capability of the reference's query engine
+(/root/reference/skar/src/query/execution/mod.rs and net-types) on the
+driver's TPC-H-ish tables; pipelines/registry.py pairs each with its
+DuckDB oracle SQL.  Patterns:
+
+- vectorised predicate filters inside ``map_batches`` (range filter
+  analog, execution/mod.rs:341-353; IN-set filters :355-391);
+- DNF selections — OR of (AND of predicates) — composed from
+  ``pyarrow.compute`` boolean kernels (log/tx selection masks,
+  execution/mod.rs:120-164,207-261);
+- broadcast-small-side semi-joins: collect a small key set, probe with
+  ``pc.is_in`` (logs→transactions→blocks propagation,
+  execution/mod.rs:21-65,86-95,183-194);
+- partial aggregation inside ``map_batches`` before the small shuffle
+  (per-folder min/max/distinct index build, build_parquet_idx.rs:50-115).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+TS_LO = "2024-01-10 00:00:00"
+TS_HI = "2024-01-20 00:00:00"
+MKT_SET = ["BUILDING", "MACHINERY"]
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def range_filter(sf_dir: str) -> "ray.data.Dataset":
+    """Block-range filter analog: ts >= lo AND ts < hi, projected."""
+    lo = pa.scalar(np.datetime64(TS_LO.replace(" ", "T"), "us"))
+    hi = pa.scalar(np.datetime64(TS_HI.replace(" ", "T"), "us"))
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["ts"], lo), pc.less(t["ts"], hi))),
+        batch_format="pyarrow",
+    )
+
+
+def in_set_filter(sf_dir: str) -> "ray.data.Dataset":
+    """IN-set membership filter (binary-set analog)."""
+    vs = pa.array(MKT_SET)
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["c_mktsegment"], value_set=vs)),
+        batch_format="pyarrow",
+    )
+
+
+def in_set_pair(sf_dir: str) -> "ray.data.Dataset":
+    """Composite-key probe analog of (block_number, transaction_index) ∈ set
+    (execution/mod.rs:375-391): zip the pair into one u64 key, probe with is_in."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
+    keys = li.map_batches(
+        lambda t: t.filter(pc.less(t["l_partkey"], 10)).select(["l_orderkey", "l_linenumber"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    key_set = pa.array(
+        (keys["l_orderkey"].to_numpy().astype(np.int64) * 16 + keys["l_linenumber"].to_numpy()).tolist(),
+        type=pa.int64(),
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        zipped = pc.add(pc.multiply(t["l_orderkey"], pa.scalar(16, type=pa.int64())), pc.cast(t["l_linenumber"], pa.int64()))
+        return t.filter(pc.is_in(zipped, value_set=key_set)).select(
+            ["l_orderkey", "l_linenumber", "l_quantity"]
+        )
+
+    return li.map_batches(probe, batch_format="pyarrow")
+
+
+def dnf_selection(sf_dir: str) -> "ray.data.Dataset":
+    """OR of (AND of predicates) — the reference's selection semantics."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def mask(t: pa.Table) -> pa.Table:
+        m1 = pc.and_(pc.equal(t["event_type"], "click"), pc.greater(t["value"], 10.0))
+        m2 = pc.and_(pc.equal(t["event_type"], "purchase"), pc.less(t["value"], 5.0))
+        return t.filter(pc.or_(m1, m2))
+
+    return ds.map_batches(mask, batch_format="pyarrow")
+
+
+def semi_join(sf_dir: str) -> "ray.data.Dataset":
+    """logs→transactions analog: collect matched keys (small), broadcast,
+    probe the other table with is_in."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    keys = li.map_batches(
+        lambda t: t.filter(pc.less(t["l_partkey"], 50)).select(["l_orderkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()["l_orderkey"].unique()
+    key_set = pa.array(sorted(keys.tolist()), type=pa.int64())
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return orders.map_batches(
+        lambda t: t.filter(pc.is_in(t["o_orderkey"], value_set=key_set)),
+        batch_format="pyarrow",
+    )
+
+
+def two_hop_semi_join(sf_dir: str) -> "ray.data.Dataset":
+    """logs→transactions→blocks propagation analog (execution/mod.rs:21-65):
+    lineitem filter → order keys → orders → customer keys → customers."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    okeys = li.map_batches(
+        lambda t: t.filter(pc.less(t["l_partkey"], 25)).select(["l_orderkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()["l_orderkey"].unique()
+    oset = pa.array(sorted(okeys.tolist()), type=pa.int64())
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    ckeys = orders.map_batches(
+        lambda t: t.filter(pc.is_in(t["o_orderkey"], value_set=oset)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()["o_custkey"].unique()
+    cset = pa.array(sorted(ckeys.tolist()), type=pa.int64())
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    return cust.map_batches(
+        lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=cset)),
+        batch_format="pyarrow",
+    )
+
+
+def projection(sf_dir: str) -> "ray.data.Dataset":
+    """Field-selection analog (server.rs:233-257)."""
+    return _read(sf_dir, "part").select_columns(["p_partkey", "p_brand", "p_size"])
+
+
+def sort_limit_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Top-k by value with deterministic tie-break."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+
+
+def minmax_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-group min/max/count — the folder/row-group index build analog
+    (build_parquet_idx.rs:50-70)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_shipdate", "l_quantity"])
+    out = ds.groupby("l_returnflag").aggregate(
+        Min("l_shipdate", alias_name="min_shipdate"),
+        Max("l_shipdate", alias_name="max_shipdate"),
+        Count(alias_name="n"),
+    )
+    return out.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+
+
+def distinct_values(sf_dir: str) -> pd.DataFrame:
+    """Distinct-set build analog (build_parquet_idx.rs:89-115): per-batch
+    pc.unique partials, tiny merge."""
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    partial = ds.map_batches(
+        lambda t: pa.table({"event_type": pc.unique(t["event_type"])}), batch_format="pyarrow"
+    )
+    vals = sorted(set(partial.to_pandas()["event_type"]))
+    return pd.DataFrame({"event_type": vals})
+
+
+def agg_q1(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-shaped grouped aggregate with per-batch PRE-AGGREGATION:
+    map_batches emits one partial row per key per batch; the shuffle then
+    moves only partials (pre-aggregate → small groupby pattern)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cut = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cut))
+        df = t.to_pandas()
+        # exact integer-cent arithmetic: float sums are order-sensitive in
+        # the last ulps, so distributed partials would drift from the
+        # oracle; int64 cents sum exactly in any order
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_bp = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        df["price_cents"] = cents
+        df["revenue_e4"] = cents * (100 - disc_bp)
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                price_cents=("price_cents", "sum"),
+                revenue_e4=("revenue_e4", "sum"),
+                n=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g)
+
+    partial = ds.map_batches(partials, batch_format="pyarrow")
+    out = (
+        partial.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="price_cents"),
+            Sum("revenue_e4", alias_name="revenue_e4"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_base_price"] = out.pop("price_cents").astype("int64") / 100.0
+    out["revenue"] = out.pop("revenue_e4").astype("int64") / 10000.0
+    out = out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "revenue", "n"]]
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def count_by_type(sf_dir: str) -> pd.DataFrame:
+    """Row-count accounting analog (server.rs:259-287)."""
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    out = ds.groupby("event_type").aggregate(Count(alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def cursor_page(sf_dir: str) -> "ray.data.Dataset":
+    """Cursor-paging analog (next_block, handler.rs:252-258): ordered page
+    after a cursor position."""
+    lo = pa.scalar(np.datetime64(TS_LO.replace(" ", "T"), "us"))
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return (
+        ds.map_batches(lambda t: t.filter(pc.greater_equal(t["ts"], lo)), batch_format="pyarrow")
+        .sort(["ts", "event_id"])
+        .limit(100)
+    )

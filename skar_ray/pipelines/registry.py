@@ -1,0 +1,308 @@
+"""Registry: every implemented operator as (Ray callable, DuckDB oracle).
+
+Consumed by ``__ray_entry__.py``.  Each entry's Ray result and SQL
+result must agree in row count, schema (column names!) and value hash —
+the differential-testing strategy the reference uses against
+eth-archive and raw RPC (/root/reference/integration-test/src/
+compare-get-logs.js).  Non-SQL-expressible ops carry ``sql=None`` and
+get the driver's rows-only check plus their own pytest oracles.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..stages import ann, dedup, multimodal, text
+from . import queries as Q
+
+# --------------------------------------------------------------- engine ops
+
+
+def _roundtrip_table(sf_dir: str, table: str, id_col: str) -> pd.DataFrame:
+    """decode(encode(table)) — identity, SQL-checkable against the raw
+    table.  Exercises the full engine (auto codecs incl. timestamps,
+    doubles, strings) through the sharded no-shuffle path."""
+    from .decode_job import decoded_dataset
+    from .encode_job import run_encode_job
+
+    out = tempfile.mkdtemp(prefix=f"skar_rt_{table}_")
+    try:
+        run_encode_job(
+            f"{sf_dir}/{table}.parquet", out, mode="sharded", chunk_target_bytes=4 << 20, resume=False
+        )
+        dec = decoded_dataset(out, verify=False).to_pandas()
+        return dec.sort_values(id_col).reset_index(drop=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def encode_roundtrip_documents(sf_dir: str) -> pd.DataFrame:
+    return _roundtrip_table(sf_dir, "documents", "doc_id")
+
+
+def encode_roundtrip_events(sf_dir: str) -> pd.DataFrame:
+    return _roundtrip_table(sf_dir, "events", "event_id")
+
+
+def encode_corpus_flagship(sf_dir: str) -> pd.DataFrame:
+    """Flagship: seeded code corpus → salted-partition encode (grouped
+    mode, the full shuffle path) → verified decode → per-partition
+    lineage summary.  Deterministic but not SQL-expressible."""
+    from ..corpus import ensure_corpus, rows_for_sf, sf_from_dir
+    from .decode_job import run_verify_job
+    from .encode_job import run_encode_job
+
+    n = rows_for_sf(sf_from_dir(sf_dir), cap=20000)
+    d = ensure_corpus(n)
+    out = tempfile.mkdtemp(prefix="skar_flagship_")
+    try:
+        summary = run_encode_job(
+            os.path.join(d, "corpus.parquet"),
+            out,
+            target_partition_bytes=16 << 20,
+            chunk_target_bytes=8 << 20,
+        )
+        v = run_verify_job(os.path.join(d, "corpus.parquet"), out)
+        assert v["rows_match"] and v["digests_verified"]
+        df = summary.to_pandas().sort_values("partition_id").reset_index(drop=True)
+        return df[["partition_id", "n_rows", "raw_bytes", "enc_bytes", "content_sha256"]]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+# ------------------------------------------------------------ text / dedup
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def token_count(sf_dir: str) -> pd.DataFrame:
+    out = _docs(sf_dir).map_batches(text.TokenCounter, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_score(sf_dir: str) -> pd.DataFrame:
+    out = _docs(sf_dir).map_batches(text.QualityScorer, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def fingerprint_md5(sf_dir: str) -> pd.DataFrame:
+    out = _docs(sf_dir).map_batches(text.Fingerprinter, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    return out[["doc_id", "md5"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def fingerprint_rolling(sf_dir: str) -> pd.DataFrame:
+    out = _docs(sf_dir).map_batches(text.Fingerprinter, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    return out[["doc_id", "rolling_fp"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def lang_id(sf_dir: str) -> pd.DataFrame:
+    out = _docs(sf_dir).map_batches(text.LangId, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    out = dedup.exact_dedup(_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_minhash(sf_dir: str) -> pa.Table:
+    return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.8)
+
+
+def dedup_simhash(sf_dir: str) -> pa.Table:
+    return dedup.simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def dedup_ngram(sf_dir: str) -> pa.Table:
+    return dedup.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def dedup_embedding(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.embedding_dup_pairs(ds, threshold=0.95)
+
+
+# ------------------------------------------------------------------- ann
+
+
+def _query_vectors(sf_dir: str, n: int = 5) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    return np.stack(df["embedding"].to_numpy())
+
+
+def ann_bruteforce(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    res = ann.brute_force_topk(ds, _query_vectors(sf_dir), k=10)
+    return res.select(["query_id", "vec_id"])
+
+
+def ann_ivf(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.ivf_topk(ds, _query_vectors(sf_dir), k=10, n_lists=8, nprobe=4).select(
+        ["query_id", "vec_id"]
+    )
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def multimodal_image_meta(sf_dir: str) -> pd.DataFrame:
+    ds = multimodal.media_dataset_from_documents(sf_dir)
+    out = ds.map_batches(
+        multimodal.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    ).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def multimodal_frames(sf_dir: str) -> pd.DataFrame:
+    ds = multimodal.media_dataset_from_documents(sf_dir)
+    out = ds.map_batches(
+        multimodal.FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    ).to_pandas()
+    out = out.drop(columns=["frame_bytes"])  # offsets prove the plumbing; keep result hashable
+    return out.sort_values(["media_id", "frame"]).reset_index(drop=True)
+
+
+def multimodal_audio(sf_dir: str) -> pd.DataFrame:
+    ds = multimodal.media_dataset_from_documents(sf_dir)
+    out = ds.map_batches(
+        multimodal.AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    ).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------- registry
+
+_TOKEN_SQL = r"len(regexp_extract_all(text, '\S+'))"
+
+QUERIES: dict[str, tuple] = {
+    # (callable, oracle_sql or None)
+    "range_filter": (
+        Q.range_filter,
+        f"SELECT event_id, ts, event_type, value FROM events "
+        f"WHERE ts >= TIMESTAMP '{Q.TS_LO}' AND ts < TIMESTAMP '{Q.TS_HI}'",
+    ),
+    "in_set_filter": (
+        Q.in_set_filter,
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+        "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')",
+    ),
+    "in_set_pair": (
+        Q.in_set_pair,
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+        "WHERE (l_orderkey, l_linenumber) IN "
+        "(SELECT (l_orderkey, l_linenumber) FROM lineitem WHERE l_partkey < 10)",
+    ),
+    "dnf_selection": (
+        Q.dnf_selection,
+        "SELECT event_id, event_type, value FROM events "
+        "WHERE (event_type = 'click' AND value > 10.0) "
+        "OR (event_type = 'purchase' AND value < 5.0)",
+    ),
+    "semi_join": (
+        Q.semi_join,
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_partkey < 50)",
+    ),
+    "two_hop_semi_join": (
+        Q.two_hop_semi_join,
+        "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey IN ("
+        " SELECT o_custkey FROM orders WHERE o_orderkey IN ("
+        "  SELECT l_orderkey FROM lineitem WHERE l_partkey < 25))",
+    ),
+    "projection": (
+        Q.projection,
+        "SELECT p_partkey, p_brand, p_size FROM part",
+    ),
+    "sort_limit_topk": (
+        Q.sort_limit_topk,
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+    ),
+    "minmax_stats": (
+        Q.minmax_stats,
+        "SELECT l_returnflag, min(l_shipdate) AS min_shipdate, "
+        "max(l_shipdate) AS max_shipdate, count(*) AS n "
+        "FROM lineitem GROUP BY l_returnflag",
+    ),
+    "distinct_values": (
+        Q.distinct_values,
+        "SELECT DISTINCT event_type FROM events",
+    ),
+    "agg_q1": (
+        Q.agg_q1,
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price, "
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue, "
+        "count(*) AS n "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus",
+    ),
+    "count_by_type": (
+        Q.count_by_type,
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    ),
+    "cursor_page": (
+        Q.cursor_page,
+        f"SELECT event_id, ts, user_id FROM events WHERE ts >= TIMESTAMP '{Q.TS_LO}' "
+        "ORDER BY ts, event_id LIMIT 100",
+    ),
+    # engine round-trips (identity oracles — the correctness heart)
+    "encode_roundtrip_documents": (
+        encode_roundtrip_documents,
+        "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    ),
+    "encode_roundtrip_events": (
+        encode_roundtrip_events,
+        "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    ),
+    "encode_corpus_flagship": (encode_corpus_flagship, None),
+    # text analysis
+    "token_count": (
+        token_count,
+        f"SELECT doc_id, {_TOKEN_SQL} AS n_tokens FROM documents",
+    ),
+    "quality_score": (
+        quality_score,
+        "SELECT doc_id, length(text) AS n_chars_calc, "
+        f"{_TOKEN_SQL} AS n_tokens, "
+        "len(regexp_extract_all(text, '[A-Za-z]')) / CAST(CASE WHEN length(text)=0 THEN 1 ELSE length(text) END AS DOUBLE) AS alpha_ratio, "
+        "len(regexp_extract_all(text, '[0-9]')) / CAST(CASE WHEN length(text)=0 THEN 1 ELSE length(text) END AS DOUBLE) AS digit_ratio "
+        "FROM documents",
+    ),
+    "fingerprint_md5": (
+        fingerprint_md5,
+        "SELECT doc_id, md5(text) AS md5 FROM documents",
+    ),
+    "fingerprint_rolling": (fingerprint_rolling, None),
+    "lang_id": (lang_id, None),
+    # dedup suite
+    "dedup_exact": (
+        dedup_exact,
+        "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    ),
+    "dedup_minhash": (dedup_minhash, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "dedup_ngram": (dedup_ngram, None),
+    "dedup_embedding": (dedup_embedding, None),
+    # similarity search
+    "ann_bruteforce": (ann_bruteforce, None),
+    "ann_ivf": (ann_ivf, None),
+    # multimodal plumbing (decode stubbed — no image/audio libs here)
+    "multimodal_image_meta": (multimodal_image_meta, None),
+    "multimodal_frames": (multimodal_frames, None),
+    "multimodal_audio": (multimodal_audio, None),
+}

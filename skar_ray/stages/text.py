@@ -1,0 +1,125 @@
+"""Text-analysis stages for training-data pipelines over `documents`.
+
+All stages are vectorised ``map_batches`` transforms (compiled regexes
+and lookup tables built once per actor in ``__init__`` — the stateful
+actor-pool pattern, analog of the reference holding parsed schemas and
+hash sets per query, /root/reference/skar/src/query/execution/mod.rs:86-95).
+
+Ops: token counting, quality scoring, md5/rolling-hash fingerprinting,
+n-gram language identification.  The SQL-expressible ones are written
+to match DuckDB semantics exactly (see pipelines/registry.py oracles).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+_TOKEN_RE = re.compile(r"\S+")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_DIGIT_RE = re.compile(r"[0-9]")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "un", "une", "des", "dans"},
+    "es": {"el", "la", "los", "y", "es", "no", "un", "una", "que", "en"},
+    "code": {"def", "return", "import", "fn", "let", "func", "var", "const", "class", "pub"},
+}
+
+
+class TokenCounter:
+    """doc_id, n_tokens — tokens are maximal non-whitespace runs,
+    matching DuckDB ``len(regexp_extract_all(text, '\\S+'))``."""
+
+    def __init__(self):
+        self.pat = _TOKEN_RE
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["text"].map(lambda s: len(self.pat.findall(s)))
+        return pd.DataFrame({"doc_id": batch["doc_id"], "n_tokens": n.astype("int64")})
+
+
+class QualityScorer:
+    """Length / character-class ratios — each component reproduced
+    bit-identically by the SQL oracle (integer counts divided as doubles)."""
+
+    def __init__(self):
+        self.tok = _TOKEN_RE
+        self.alpha = _ALPHA_RE
+        self.digit = _DIGIT_RE
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"]
+        n_chars = texts.str.len().astype("int64")
+        n_tokens = texts.map(lambda s: len(self.tok.findall(s))).astype("int64")
+        n_alpha = texts.map(lambda s: len(self.alpha.findall(s))).astype("int64")
+        n_digit = texts.map(lambda s: len(self.digit.findall(s))).astype("int64")
+        denom = n_chars.replace(0, 1).astype("float64")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_calc": n_chars,
+                "n_tokens": n_tokens,
+                "alpha_ratio": n_alpha / denom,
+                "digit_ratio": n_digit / denom,
+            }
+        )
+
+
+class Fingerprinter:
+    """md5 fingerprint (SQL-checkable via DuckDB md5()) + a 64-bit
+    Rabin-Karp rolling-hash document fingerprint (min of window hashes,
+    shift-resistant — not SQL-expressible)."""
+
+    BASE = np.uint64(1000003)
+    WINDOW = 16
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        md5s = batch["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest())
+        rolls = batch["text"].map(self._rolling_min)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "md5": md5s, "rolling_fp": rolls.astype("int64")}
+        )
+
+    def _rolling_min(self, s: str) -> int:
+        b = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.uint64)
+        w = self.WINDOW
+        if len(b) == 0:
+            return 0
+        if len(b) <= w:
+            h = np.uint64(0)
+            for x in b:
+                h = h * self.BASE + x
+            return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+        # vectorised windowed polynomial hash
+        powers = self.BASE ** np.arange(w - 1, -1, -1, dtype=np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(b, w)
+        hashes = (win * powers).sum(axis=1, dtype=np.uint64)
+        return int(hashes.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+
+class LangId:
+    """Stopword-profile language/flavor guess (heuristic, rows-only check)."""
+
+    def __init__(self):
+        self.tok = re.compile(r"[A-Za-zäöüéèáíóúñ]+")
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for s in batch["text"]:
+            toks = [t.lower() for t in self.tok.findall(s)[:200]]
+            if not toks:
+                preds.append("unknown")
+                continue
+            scores = {
+                lang: sum(t in prof for t in toks) for lang, prof in self.profiles.items()
+            }
+            best = max(sorted(scores), key=lambda k: scores[k])
+            preds.append(best if scores[best] > 0 else "unknown")
+        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})

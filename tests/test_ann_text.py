@@ -1,0 +1,107 @@
+"""ANN (brute-force exactness, IVF recall), text ops, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from skar_ray.stages import ann, multimodal, text
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(300), "embedding": list(vecs)})
+    return ray.data.from_pandas(df), vecs
+
+
+def _exact_topk(vecs: np.ndarray, q: np.ndarray, k: int) -> list[set]:
+    m = vecs.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qq = q.astype(np.float64)
+    qq = qq / np.linalg.norm(qq, axis=1, keepdims=True)
+    sims = qq @ m.T
+    return [set(np.argsort(-sims[i])[:k].tolist()) for i in range(len(q))]
+
+
+def test_brute_force_matches_exact(emb_ds):
+    ds, vecs = emb_ds
+    q = vecs[:3]
+    res = ann.brute_force_topk(ds, q, k=10).to_pandas()
+    want = _exact_topk(vecs, q, 10)
+    for qi in range(3):
+        got = set(res[res.query_id == qi]["vec_id"])
+        assert got == want[qi]
+
+
+def test_ivf_recall(emb_ds):
+    ds, vecs = emb_ds
+    q = vecs[:3]
+    res = ann.ivf_topk(ds, q, k=10, n_lists=8, nprobe=4).to_pandas()
+    want = _exact_topk(vecs, q, 10)
+    recalls = []
+    for qi in range(3):
+        got = set(res[res.query_id == qi]["vec_id"])
+        recalls.append(len(got & want[qi]) / 10)
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_token_counter_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": ["a b  c", "", "  lead", "tab\tsep\nnl end "]}
+    )
+    got = ray.data.from_pandas(df).map_batches(text.TokenCounter, batch_format="pandas", concurrency=1).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.connect().execute(
+        r"SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM df ORDER BY doc_id"
+    ).df()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+
+
+def test_rolling_fp_shift_invariant_window():
+    f = text.Fingerprinter()
+    body = (
+        "common body text here that is quite a bit longer than the window size and repeats tokens "
+        * 3
+    )
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["PREFIX " + body, body, body + " SUFFIX"]})
+    out = f(df)
+    # min-of-window rolling hash survives prefix/suffix shifts when the
+    # minimal window lies in the shared body (it does for these fixtures)
+    assert out["rolling_fp"].nunique() == 1
+
+
+def test_lang_id_english():
+    l = text.LangId()
+    df = pd.DataFrame({"doc_id": [0], "text": ["the cat and the dog ran to the house of a friend for it is warm"]})
+    assert l(df)["lang_pred"].iloc[0] == "en"
+
+
+def test_multimodal_plumbing(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    rows = pa.table(
+        {
+            "media_id": pa.array([0, 1], type=pa.int64()),
+            "kind": pa.array(["image", "video"]),
+            "payload": pa.array([b"\x89PNG fake payload" * 50, b"RIFF fake avi" * 99], type=pa.large_binary()),
+            "source": pa.array(["s0", "s1"]),
+        }
+    )
+    ds = ray.data.from_arrow(rows)
+    meta = ds.map_batches(multimodal.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=1).to_pandas()
+    assert set(meta.columns) == {"media_id", "width", "height", "mode", "n_pixels"}
+    assert (meta["n_pixels"] == meta["width"] * meta["height"]).all()
+    # deterministic across runs
+    meta2 = ds.map_batches(multimodal.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=1).to_pandas()
+    pd.testing.assert_frame_equal(meta.sort_values("media_id").reset_index(drop=True),
+                                  meta2.sort_values("media_id").reset_index(drop=True))
+    frames = ds.map_batches(multimodal.FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=1).to_pandas()
+    assert len(frames) == 8  # 4 frames per row
+    assert frames.groupby("media_id")["frame"].apply(list).map(lambda l: l == [0, 1, 2, 3]).all()

@@ -1,0 +1,81 @@
+"""Dedup-suite oracles: planted duplicates must be found."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import skar_ray.stages.dedup as dd
+
+BASE = (
+    "The quick brown fox jumps over the lazy dog. "
+    "Pack my box with five dozen liquor jugs. "
+    "How vexingly quick daft zebras jump. " * 4
+)
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"unique document number {i} " + BASE[: 100 + i * 7], "lang": "en"})
+    # exact duplicates
+    rows.append({"doc_id": 100, "text": rows[0]["text"], "lang": "en"})
+    rows.append({"doc_id": 101, "text": rows[0]["text"], "lang": "en"})
+    # near duplicate of doc 5 (one word changed)
+    rows.append({"doc_id": 102, "text": rows[5]["text"].replace("quick", "quack", 1), "lang": "en"})
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def test_exact_dedup_keeps_min_id(docs_ds):
+    kept = sorted(dd.exact_dedup(docs_ds).to_pandas()["doc_id"])
+    assert 0 in kept and 100 not in kept and 101 not in kept
+    assert len(kept) == 41  # 40 unique + the near-dup (not exact)
+
+
+def test_minhash_finds_planted_near_dup(docs_ds):
+    pairs = dd.minhash_lsh_pairs(docs_ds, threshold=0.7).to_pandas()
+    pairs_set = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (5, 102) in pairs_set, pairs_set
+    assert (0, 100) in pairs_set and (0, 101) in pairs_set
+
+
+def test_minhash_jaccard_close_to_exact(docs_ds):
+    pairs = dd.minhash_lsh_pairs(docs_ds, threshold=0.7).to_pandas()
+    row = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 100)]
+    assert abs(row["jaccard"].iloc[0] - 1.0) < 1e-9  # exact dup ⇒ jaccard 1
+
+
+def test_simhash_identical_docs_distance_zero(docs_ds):
+    pairs = dd.simhash_pairs(docs_ds, max_hamming=3).to_pandas()
+    d = dict(zip(zip(pairs["doc_a"], pairs["doc_b"]), pairs["hamming"]))
+    assert d.get((0, 100)) == 0 and d.get((0, 101)) == 0
+
+
+def test_ngram_jaccard_pairs(docs_ds):
+    pairs = dd.ngram_jaccard_pairs(docs_ds, threshold=0.9, group_col="lang").to_pandas()
+    pset = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 100) in pset and (100, 101) in pset
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 32))
+    vecs[50] = vecs[3] + rng.normal(scale=0.01, size=32)  # planted near-dup
+    vecs[51] = vecs[3]  # exact dup
+    df = pd.DataFrame({"vec_id": range(60), "embedding": list(vecs.astype(np.float32))})
+    ds = ray.data.from_pandas(df)
+    pairs = dd.embedding_dup_pairs(ds, threshold=0.99).to_pandas()
+    pset = set(zip(pairs["vec_a"], pairs["vec_b"]))
+    assert (3, 50) in pset and (3, 51) in pset and (50, 51) in pset
+    assert all(c >= 0.99 for c in pairs["cosine"])
+
+
+def test_jaccard_helper():
+    a = np.array([1, 2, 3, 4], dtype=np.uint64)
+    b = np.array([3, 4, 5, 6], dtype=np.uint64)
+    assert dd.jaccard(a, b) == pytest.approx(2 / 6)
+    assert dd.jaccard(a, a) == 1.0
