@@ -1,0 +1,152 @@
+"""Benchmark harness — one JSON line for the grading driver.
+
+Headline: the flagship encode pipeline (seeded code corpus → salted
+groupby partitions → per-column auto-codec → manifest) measured as
+wall seconds and GB/s of raw content bytes, plus a verified decode
+pass and representative operator timings over ``$GRAFT_SF_DIR``.
+
+    python bench.py              # one run at RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # fresh processes at 8 and 32 CPUs,
+                                 # reports throughputs + efficiency
+
+bench.py OWNS its Ray session (init+shutdown) — library code never does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from skar_ray.corpus import ensure_corpus, rows_for_sf, sf_from_dir
+    from skar_ray.pipelines.decode_job import run_verify_job
+    from skar_ray.pipelines.encode_job import run_encode_job
+
+    sf = sf_from_dir(sf_dir)
+    n_rows = rows_for_sf(sf)
+    corpus_dir = ensure_corpus(n_rows)  # cached, untimed
+    corpus = os.path.join(corpus_dir, "corpus.parquet")
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    with open(corpus, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    raw_content_bytes = int(
+        pq.read_metadata(corpus).num_rows
+        and sum(
+            pc.sum(pc.binary_length(b.column("content"))).as_py()
+            for b in pq.ParquetFile(corpus).iter_batches(columns=["content"], batch_size=65536)
+        )
+    )
+
+    out = tempfile.mkdtemp(prefix="skar_bench_")
+    queries: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        summary = run_encode_job(
+            corpus, out, target_partition_bytes=None,  # auto: ≥2 partitions/core
+            chunk_target_bytes=16 << 20, resume=False,
+        )
+        encode_s = time.time() - t0
+        queries["encode"] = round(encode_s, 3)
+
+        import pyarrow.compute as pc2
+
+        enc_bytes = int(pc2.sum(summary.column("enc_bytes")).as_py())
+        raw_bytes = int(pc2.sum(summary.column("raw_bytes")).as_py())
+        ref_bytes = os.path.getsize(os.path.join(corpus_dir, "reference_zstd.parquet"))
+
+        t0 = time.time()
+        v = run_verify_job(corpus, out)
+        queries["decode_verify"] = round(time.time() - t0, 3)
+        assert v["rows_match"] and v["digests_verified"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    # representative operator timings over the driver's tables
+    from skar_ray.pipelines.registry import QUERIES
+
+    for name in ["agg_q1", "range_filter", "semi_join", "token_count", "dedup_minhash", "ann_bruteforce"]:
+        fn = QUERIES[name][0]
+        t0 = time.time()
+        res = fn(sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            res = res.to_pandas()
+        queries[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    gbps = raw_content_bytes / max(1e-9, encode_s) / 1e9
+    return {
+        "metric": "flagship encode wall time (corpus raw content → verified encoded partitions)",
+        "value": round(encode_s, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "corpus_rows": n_rows,
+        "raw_content_bytes": raw_content_bytes,
+        "raw_arrow_bytes": raw_bytes,
+        "encoded_bytes": enc_bytes,
+        "reference_zstd_parquet_bytes": ref_bytes,
+        "compression_vs_reference": round(ref_bytes / max(1, enc_bytes), 3),
+        "encode_gbps": round(gbps, 3),
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    results = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (encode pipeline, fresh ray sessions)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"gbps_{lo}": results[lo]["encode_gbps"],
+        f"gbps_{hi}": results[hi]["encode_gbps"],
+        "cpus": [lo, hi],
+        "sf": results[hi]["sf"],
+        "num_cpus": hi,
+        "queries": {f"encode_{lo}cpu": t_lo, f"encode_{hi}cpu": t_hi},
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, num_cpus)))

@@ -71,18 +71,45 @@ class Encoded:
         return len(self.blob)
 
 
-def select_codec(arr: pa.Array, sample_rows: int = _SAMPLE_ROWS) -> tuple[str, dict]:
-    """Return (winner, per-candidate estimated bytes on the sample)."""
+_SAMPLE_BYTE_CAP = 1 << 20
+
+
+def sample_of(arr: pa.Array, sample_rows: int = _SAMPLE_ROWS) -> pa.Array:
+    """Stride-sample rows, additionally byte-capped for string columns so
+    estimating a blob-heavy column never costs more than ~1 MB of work."""
     n = len(arr)
-    if n == 0:
-        return "plain", {}
     if n > sample_rows:
         idx = np.linspace(0, n - 1, sample_rows).astype(np.int64)
         sample = arr.take(pa.array(idx))
     else:
         sample = arr
+    if base.is_string_like(arr.type) and len(sample):
+        import pyarrow.compute as pc
+
+        lens = np.asarray(pc.binary_length(sample)).astype(np.int64)
+        cum = np.cumsum(lens)
+        if cum[-1] > _SAMPLE_BYTE_CAP:
+            keep = int(np.searchsorted(cum, _SAMPLE_BYTE_CAP)) + 1
+            sample = sample.slice(0, keep)
+    return sample
+
+
+def select_codec(arr: pa.Array, sample_rows: int = _SAMPLE_ROWS) -> tuple[str, dict]:
+    """Return (winner, per-candidate estimated bytes on the sample)."""
+    if len(arr) == 0:
+        return "plain", {}
+    sample = sample_of(arr, sample_rows)
+    names = candidates_for(arr.type)
+    if base.is_string_like(arr.type) and len(sample) > 16:
+        import pyarrow.compute as pc
+
+        # dict/rle cannot win on near-unique values; skip their estimates
+        # (estimating them costs a dictionary build over the sample)
+        distinct_ratio = pc.count_distinct(sample).as_py() / len(sample)
+        if distinct_ratio > 0.6:
+            names = [n for n in names if n not in ("dict", "rle")]
     estimates: dict[str, int] = {}
-    for name in candidates_for(arr.type):
+    for name in names:
         try:
             payload, _ = base.encode_array(sample, name)
             z, _page = page_compress(payload)
@@ -95,13 +122,20 @@ def select_codec(arr: pa.Array, sample_rows: int = _SAMPLE_ROWS) -> tuple[str, d
     return winner, estimates
 
 
-def encode_column(arr: pa.Array, codec_name: str | None = None) -> Encoded:
+def encode_column(arr: pa.Array, codec_name: str | None = None, fsst_table=None) -> Encoded:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     estimates: dict = {}
     if codec_name is None:
         codec_name, estimates = select_codec(arr)
-    payload, meta = base.encode_array(arr, codec_name)
+    if codec_name == "fsst" and fsst_table is not None:
+        codec = base.get_codec("fsst")
+        payload, meta = codec.encode(arr, table=fsst_table)
+        meta["codec"] = "fsst"
+        meta["type"] = base.type_name(arr.type)
+        meta["n"] = len(arr)
+    else:
+        payload, meta = base.encode_array(arr, codec_name)
     blob, page = page_compress(payload)
     return Encoded(
         codec=codec_name,

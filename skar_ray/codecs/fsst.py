@@ -26,8 +26,6 @@ alternation (C-speed scan); decoding is a vectorised padded-gather.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
 
@@ -41,7 +39,13 @@ _MAX_LEN = 8
 
 
 def train_symbols(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
-    """Pick up to `max_symbols` byte sequences maximising estimated savings."""
+    """Pick up to `max_symbols` byte sequences maximising estimated savings.
+
+    Multi-byte symbols are restricted to ASCII (<0x80) bytes: the fast
+    encoder's ``bytes.replace`` chain relies on inserted code bytes
+    (≥0x80) never being part of a later symbol match.  Single-byte
+    symbols are allowed for frequent high bytes (saves their escape).
+    """
     if len(sample) < 4:
         return []
     buf = np.frombuffer(sample, dtype=np.uint8)
@@ -55,9 +59,13 @@ def train_symbols(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
         if len(buf) <= L:
             break
         win = np.lib.stride_tricks.sliding_window_view(buf, L)
-        # subsample long windows for speed: stride so we scan <= ~1M windows
-        step = max(1, len(win) // (1 << 20))
+        # subsample long windows for speed: scan <= ~512K windows per length
+        step = max(1, len(win) // (1 << 19))
         win = win[::step]
+        ascii_only = (win < 0x80).all(axis=1)
+        win = win[ascii_only]
+        if len(win) == 0:
+            continue
         view = np.ascontiguousarray(win).view(np.dtype((np.void, L))).ravel()
         uniq, counts = np.unique(view, return_counts=True)
         if len(uniq) == 0:
@@ -85,12 +93,21 @@ class SymbolTable:
     def __init__(self, symbols: list[bytes]):
         self.symbols = symbols
         self.code_of = {s: FIRST_CODE + i for i, s in enumerate(symbols)}
-        if symbols:
-            parts = sorted(symbols, key=len, reverse=True)
-            pattern = b"|".join(re.escape(s) for s in parts) + b"|[\\x80-\\xff]"
-        else:
-            pattern = b"[\\x80-\\xff]"
-        self._re = re.compile(pattern, re.DOTALL)
+        # encoder fast path: multi-byte ASCII symbols applied as a
+        # bytes.replace chain (longest first — a replace can never match
+        # across an inserted code byte since codes are >= 0x80 and
+        # symbols are pure ASCII); high single bytes mapped via LUT.
+        self._multi = sorted(
+            ((s, bytes((FIRST_CODE + i,))) for i, s in enumerate(symbols) if len(s) > 1),
+            key=lambda t: -len(t[0]),
+        )
+        self._hi_lut = np.arange(256, dtype=np.uint8)
+        self._needs_escape = np.zeros(256, dtype=bool)
+        self._needs_escape[0x80:] = True
+        for i, s in enumerate(symbols):
+            if len(s) == 1 and s[0] >= 0x80:
+                self._hi_lut[s[0]] = FIRST_CODE + i
+                self._needs_escape[s[0]] = False
         # decode tables: padded symbol matrix + lengths, indexed by code
         pad = np.zeros((256, _MAX_LEN), dtype=np.uint8)
         lens = np.zeros(256, dtype=np.int64)
@@ -114,16 +131,24 @@ class SymbolTable:
     # ------------------------------------------------------------ encode
 
     def encode_buffer(self, data: bytes) -> bytes:
-        code_of = self.code_of
-
-        def repl(m: re.Match) -> bytes:
-            s = m.group(0)
-            c = code_of.get(s)
-            if c is not None:
-                return bytes((c,))
-            return b"\xff" + s  # escape a single high byte
-
-        return self._re.sub(repl, data)
+        """Two passes, no per-match Python:
+        1. vectorised high-byte pass — map single-byte high symbols to
+           their codes (LUT) and splice escape markers before the rest;
+        2. a ``bytes.replace`` chain for the ASCII multi-byte symbols
+           (each replace is a C-speed scan; safety argument in
+           ``__init__``)."""
+        if not data:
+            return data
+        arr = np.frombuffer(data, dtype=np.uint8)
+        if arr.max() >= 0x80:
+            mapped = self._hi_lut[arr]
+            esc_pos = np.flatnonzero(self._needs_escape[arr])
+            if esc_pos.size:
+                mapped = np.insert(mapped, esc_pos, ESCAPE)
+            data = mapped.tobytes()
+        for sym, code in self._multi:
+            data = data.replace(sym, code)
+        return data
 
     # ------------------------------------------------------------ decode
 

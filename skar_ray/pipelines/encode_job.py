@@ -39,23 +39,35 @@ def corpus_dataset(corpus_path: str, columns: list[str] | None = None) -> "ray.d
     return ray.data.read_parquet(corpus_path, columns=columns)
 
 
+def _auto_partition_bytes(total_bytes: int) -> int:
+    """Size partitions so every core has ≥2 partitions of work (ideal
+    load-balance for the actor/task pool) within [4 MiB, 128 MiB]."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    target = total_bytes // max(1, 2 * ncpu)
+    return max(4 << 20, min(128 << 20, target))
+
+
 def run_encode_job(
     corpus_path: str,
     out_dir: str,
-    target_partition_bytes: int = 64 << 20,
+    target_partition_bytes: int | None = None,
     chunk_target_bytes: int = 16 << 20,
     mode: str = "grouped",
     resume: bool = True,
     concurrency: int | None = None,
+    codec_overrides: dict[str, str] | None = None,
 ) -> pa.Table:
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
-    input_fingerprint = f"{corpus_path}:{target_partition_bytes}"
-    done = manifest_mod.scan_manifests(out_dir) if resume else {}
 
     ds = corpus_dataset(corpus_path)
 
     if mode == "sharded":
+        input_fingerprint = f"{corpus_path}:sharded"
+        done = manifest_mod.scan_manifests(out_dir) if resume else {}
+        done = {p: m for p, m in done.items() if m.input_fingerprint == input_fingerprint}
         enc = ds.map_batches(
             ShardEncoder,
             fn_constructor_kwargs=dict(
@@ -63,6 +75,7 @@ def run_encode_job(
                 chunk_target_bytes=chunk_target_bytes,
                 input_fingerprint=input_fingerprint,
                 done_ids=frozenset(done.keys()),
+                codec_overrides=codec_overrides,
             ),
             batch_format="pyarrow",
             batch_size=None,  # one call per input block
@@ -71,9 +84,25 @@ def run_encode_job(
         )
         summary = pa.Table.from_pandas(enc.to_pandas())
     else:
-        plan = partitioner.make_plan(
-            partitioner.repo_size_prepass(ds, target_partition_bytes), target_partition_bytes
-        )
+        sizes = partitioner.repo_size_prepass_fast(corpus_path)
+        if target_partition_bytes is None:
+            import pyarrow.compute as pc
+
+            target_partition_bytes = _auto_partition_bytes(
+                int(pc.sum(sizes.column("bytes")).as_py() or 0)
+            )
+        plan = partitioner.make_plan(sizes, target_partition_bytes)
+        # resume only against manifests from the SAME plan — a different
+        # partition plan renumbers pkeys (skar's analog: block-range keys
+        # are plan-independent; ours must be fingerprint-guarded)
+        import hashlib
+
+        plan_hash = hashlib.sha256(
+            repr(sorted(plan.repos.items())).encode()
+        ).hexdigest()[:16]
+        input_fingerprint = f"{corpus_path}:{target_partition_bytes}:{plan_hash}"
+        done = manifest_mod.scan_manifests(out_dir) if resume else {}
+        done = {p: m for p, m in done.items() if m.input_fingerprint == input_fingerprint}
         keyed = ds.map_batches(
             lambda b: partitioner.assign_pkeys(b, plan), batch_format="pyarrow"
         )
@@ -89,7 +118,7 @@ def run_encode_job(
             )
         enc = keyed.groupby("pkey").map_groups(
             lambda g: encode_partition(
-                g, out_dir, chunk_target_bytes, input_fingerprint
+                g, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides
             ),
             batch_format="pyarrow",
         )

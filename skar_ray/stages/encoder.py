@@ -163,7 +163,8 @@ class ShardEncoder:
     """
 
     def __init__(self, out_dir: str, chunk_target_bytes: int = 32 << 20,
-                 input_fingerprint: str = "", done_ids: frozenset[int] = frozenset()):
+                 input_fingerprint: str = "", done_ids: frozenset[int] = frozenset(),
+                 codec_overrides: dict[str, str] | None = None):
         # warm the codec registry + zstd context once per actor
         from ..codecs import auto  # noqa: F401
 
@@ -171,6 +172,7 @@ class ShardEncoder:
         self.chunk_target_bytes = chunk_target_bytes
         self.input_fingerprint = input_fingerprint
         self.done_ids = done_ids
+        self.codec_overrides = codec_overrides
 
     def _block_pid(self, batch: pa.Table) -> int:
         h = hashlib.sha256()
@@ -195,5 +197,6 @@ class ShardEncoder:
             )
         batch = batch.append_column("pkey", pa.array(np.full(batch.num_rows, pid), type=pa.int64()))
         return encode_partition(
-            batch, self.out_dir, self.chunk_target_bytes, self.input_fingerprint
+            batch, self.out_dir, self.chunk_target_bytes, self.input_fingerprint,
+            self.codec_overrides,
         )

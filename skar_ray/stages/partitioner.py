@@ -26,6 +26,7 @@ from block ranges.
 
 from __future__ import annotations
 
+import os
 import zlib
 from dataclasses import dataclass
 
@@ -54,7 +55,52 @@ def content_sizes(batch: pa.Table, column: str = "content") -> np.ndarray:
     return np.asarray(pc.binary_length(batch.column(column))).astype(np.int64)
 
 
-def repo_size_prepass(ds: "ray.data.Dataset", target_bytes: int) -> pa.Table:
+def repo_size_prepass_fast(corpus_path: str) -> pa.Table:
+    """Cheap size plan: per-repo ROW counts from a repo-column-only read
+    (tiny, dictionary-encoded in Parquet) × the corpus-wide average
+    content row size taken from Parquet column-chunk metadata
+    (``total_uncompressed_size`` — no content decode at all).
+
+    Exact per-repo byte totals would need a full content read; at 100 TB
+    that is a second full pass.  The approximation only mis-sizes repos
+    whose AVERAGE row size deviates wildly, and the encoder's chunk
+    capping bounds worker memory regardless — split factors just become
+    approximate.  Use ``repo_size_prepass`` when exact sizing matters.
+    """
+    import pyarrow.parquet as pq
+
+    total_rows = 0
+    content_bytes = 0
+    for path in ([corpus_path] if corpus_path.endswith(".parquet") else [
+        os.path.join(corpus_path, f) for f in sorted(os.listdir(corpus_path)) if f.endswith(".parquet")
+    ]):
+        md = pq.read_metadata(path)
+        total_rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema == "content":
+                    content_bytes += col.total_uncompressed_size
+    avg = content_bytes / max(1, total_rows)
+
+    ds = ray.data.read_parquet(corpus_path, columns=["repo"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        repos = batch.column("repo")
+        enc = pc.dictionary_encode(repos.combine_chunks() if isinstance(repos, pa.ChunkedArray) else repos)
+        counts = np.bincount(np.asarray(enc.indices), minlength=len(enc.dictionary))
+        return pa.table({"repo": enc.dictionary, "rows": pa.array(counts.astype(np.int64))})
+
+    agg = ds.map_batches(partials, batch_format="pyarrow").groupby("repo").aggregate(
+        Sum("rows", alias_name="rows")
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas())
+    est = pc.cast(pc.round(pc.multiply(pc.cast(tbl.column("rows"), pa.float64()), avg)), pa.int64())
+    return tbl.append_column("bytes", est)
+
+
+def repo_size_prepass(ds: "ray.data.Dataset", target_bytes: int = 0) -> pa.Table:
     """Per-repo total content bytes via partial-aggregate → small groupby."""
 
     def partials(batch: pa.Table) -> pa.Table:

@@ -36,15 +36,42 @@ def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]
     if chunk_rows is None:
         chunk_rows = [(0, table.num_rows)]
     codec_overrides = codec_overrides or {}
+
+    # partition-level codec plan: select ONCE per column (sampled), and
+    # train ONE FSST symbol table per column per partition (the
+    # north-star's per-partition symbol tables) reused across chunks —
+    # per-chunk re-training/re-selection would dominate encode time.
+    plan: dict[str, tuple[str, object, dict]] = {}
+    for name in table.column_names:
+        col = table.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codec = codec_overrides.get(name)
+        estimates: dict = {}
+        if codec is None:
+            codec, estimates = auto.select_codec(col)
+        fsst_table = None
+        if codec == "fsst":
+            from ..codecs import base as cbase
+            from ..codecs.fsst import FsstCodec
+
+            _, data = cbase.strings_to_buffers(cbase.split_nulls(col)[1])
+            fsst_table = FsstCodec().make_table(data)
+        plan[name] = (codec, fsst_table, estimates)
+
     chunks_meta = []
     blobs: list[bytes] = []
     blob_off = 0
+    first_chunk = True
     for (off, ln) in chunk_rows:
         sl = table.slice(off, ln)
         cols_meta = []
         for name in table.column_names:
             col = sl.column(name)
-            enc = auto.encode_column(col, codec_overrides.get(name))
+            codec, fsst_table, estimates = plan[name]
+            enc = auto.encode_column(col, codec, fsst_table=fsst_table)
+            if first_chunk:
+                enc.estimates = estimates
             cols_meta.append(
                 {
                     "name": name,
@@ -61,6 +88,7 @@ def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]
             blobs.append(enc.blob)
             blob_off += len(enc.blob)
         chunks_meta.append({"n_rows": ln, "columns": cols_meta})
+        first_chunk = False
     header = {
         "version": 1,
         "schema": [[f.name, str(f.type)] for f in table.schema],
