@@ -94,8 +94,12 @@ def sample_of(arr: pa.Array, sample_rows: int = _SAMPLE_ROWS) -> pa.Array:
     return sample
 
 
-def select_codec(arr: pa.Array, sample_rows: int = _SAMPLE_ROWS) -> tuple[str, dict]:
-    """Return (winner, per-candidate estimated bytes on the sample)."""
+def select_codec(arr: pa.Array, sample_rows: int = _SAMPLE_ROWS, fsst_table=None) -> tuple[str, dict]:
+    """Return (winner, per-candidate estimated bytes on the sample).
+
+    ``fsst_table``: a pre-trained partition symbol table — reused for the
+    fsst estimate instead of training a second table on the sample.
+    """
     if len(arr) == 0:
         return "plain", {}
     sample = sample_of(arr, sample_rows)
@@ -111,7 +115,10 @@ def select_codec(arr: pa.Array, sample_rows: int = _SAMPLE_ROWS) -> tuple[str, d
     estimates: dict[str, int] = {}
     for name in names:
         try:
-            payload, _ = base.encode_array(sample, name)
+            if name == "fsst" and fsst_table is not None:
+                payload, _ = base.get_codec("fsst").encode(sample, table=fsst_table)
+            else:
+                payload, _ = base.encode_array(sample, name)
             z, _page = page_compress(payload)
             estimates[name] = len(z)
         except Exception:

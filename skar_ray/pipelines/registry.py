@@ -52,6 +52,30 @@ def encode_roundtrip_events(sf_dir: str) -> pd.DataFrame:
     return _roundtrip_table(sf_dir, "events", "event_id")
 
 
+def query_encoded_corpus(sf_dir: str) -> pd.DataFrame:
+    """skar-query-path analog over ENCODED partitions: encode the seeded
+    corpus once (manifest-resumed cache), then run a projected DNF
+    query with manifest-based partition pruning.  Deterministic."""
+    from ..corpus import ensure_corpus, rows_for_sf, sf_from_dir
+    from .encode_job import run_encode_job
+    from .query_encoded import query_encoded
+
+    n = rows_for_sf(sf_from_dir(sf_dir), cap=20000)
+    d = ensure_corpus(n)
+    out = f"/tmp/skar_ray_encoded/n{n}"
+    os.makedirs(out, exist_ok=True)
+    run_encode_job(
+        os.path.join(d, "corpus.parquet"), out,
+        target_partition_bytes=16 << 20, chunk_target_bytes=8 << 20, resume=True,
+    )
+    res = query_encoded(
+        out,
+        columns=["repo", "path", "lang"],
+        filters=[[("lang", "==", "go")], [("lang", "==", "python"), ("path", "prefix", "src/")]],
+    ).to_pandas()
+    return res.sort_values(["repo", "path", "lang"]).reset_index(drop=True)
+
+
 def encode_corpus_flagship(sf_dir: str) -> pd.DataFrame:
     """Flagship: seeded code corpus → salted-partition encode (grouped
     mode, the full shuffle path) → verified decode → per-partition
@@ -270,6 +294,7 @@ QUERIES: dict[str, tuple] = {
         "SELECT event_id, ts, user_id, event_type, value, props FROM events",
     ),
     "encode_corpus_flagship": (encode_corpus_flagship, None),
+    "query_encoded_corpus": (query_encoded_corpus, None),
     # text analysis
     "token_count": (
         token_count,

@@ -97,13 +97,19 @@ def encode_partition(
 ) -> pa.Table:
     """Encode one partition; returns a 1-row summary table."""
     t0 = time.time()
+    timings: dict[str, float] = {}
     pid = int(group.column("pkey")[0].as_py()) if "pkey" in group.column_names else 0
     data = group.drop_columns(["pkey"]) if "pkey" in group.column_names else group
+    data = data.combine_chunks()  # shuffled groups arrive heavily chunked
     data = lexsort(data)
+    timings["sort"] = time.time() - t0
 
+    t1 = time.time()
     digests = row_sha256(data) if "content" in data.column_names else []
     pdigest = partition_digest(digests)
+    timings["sha256"] = time.time() - t1
 
+    t1 = time.time()
     slices = chunk_slices(data, chunk_target_bytes)
     fname = f"part-{pid:06d}.skarc"
     os.makedirs(out_dir, exist_ok=True)
@@ -114,6 +120,7 @@ def encode_partition(
         codec_overrides=codec_overrides,
         extra={"partition_id": pid, "sort_keys": SORT_KEYS},
     )
+    timings["encode_write"] = time.time() - t1
 
     col_stats: dict[str, dict] = {}
     raw_total = enc_total = 0
@@ -124,6 +131,30 @@ def encode_partition(
             st["enc_bytes"] += cm["length"]
             raw_total += cm["raw_bytes"]
             enc_total += cm["length"]
+
+    # per-partition pruning stats — the analog of skar's per-folder
+    # min/max + distinct-set indexes (build_parquet_idx.rs:50-115):
+    # min/max for every column, plus the exact distinct-value list for
+    # low-cardinality string columns (repo/lang), consulted by
+    # query_encoded() to skip whole partitions.
+    stats: dict[str, dict] = {}
+    for name in data.column_names:
+        col = data.column(name)
+        try:
+            mm = pc.min_max(col)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if isinstance(lo, str) and len(lo) > 64:
+                lo = lo[:64]
+            if isinstance(hi, str) and len(hi) > 64:
+                hi = hi[:64] + "￿"  # truncated max must stay an upper bound
+            entry: dict = {"min": str(lo), "max": str(hi)}
+        except Exception:
+            entry = {}
+        if pa.types.is_string(col.type if not isinstance(col, pa.ChunkedArray) else col.type):
+            distinct = pc.unique(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+            if len(distinct) <= 64:
+                entry["distinct"] = sorted(distinct.to_pylist())
+        stats[name] = entry
 
     m = manifest.PartitionManifest(
         partition_id=pid,
@@ -137,6 +168,7 @@ def encode_partition(
         columns=col_stats,
         input_fingerprint=input_fingerprint,
         wall_s=round(time.time() - t0, 4),
+        extra={"stats": stats, "timings": {k: round(v, 3) for k, v in timings.items()}},
     )
     manifest.write_manifest(out_dir, m)
     return pa.table(

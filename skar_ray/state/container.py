@@ -46,17 +46,19 @@ def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]
         col = table.column(name)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        codec = codec_overrides.get(name)
-        estimates: dict = {}
-        if codec is None:
-            codec, estimates = auto.select_codec(col)
         fsst_table = None
-        if codec == "fsst":
+        if auto.base.is_string_like(col.type) and len(col):
             from ..codecs import base as cbase
             from ..codecs.fsst import FsstCodec
 
             _, data = cbase.strings_to_buffers(cbase.split_nulls(col)[1])
             fsst_table = FsstCodec().make_table(data)
+        codec = codec_overrides.get(name)
+        estimates: dict = {}
+        if codec is None:
+            codec, estimates = auto.select_codec(col, fsst_table=fsst_table)
+        if codec != "fsst":
+            fsst_table = None
         plan[name] = (codec, fsst_table, estimates)
 
     chunks_meta = []
