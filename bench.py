@@ -46,21 +46,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     corpus_dir = ensure_corpus(n_rows)  # cached, untimed
     corpus = os.path.join(corpus_dir, "corpus.parquet")
 
-    # warm the page cache so we measure compute+shuffle, not first disk read
-    with open(corpus, "rb") as f:
-        while f.read(1 << 24):
-            pass
-
+    # warm the page cache (untimed) and measure raw content bytes exactly
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
-    raw_content_bytes = int(
-        pq.read_metadata(corpus).num_rows
-        and sum(
-            pc.sum(pc.binary_length(b.column("content"))).as_py()
-            for b in pq.ParquetFile(corpus).iter_batches(columns=["content"], batch_size=65536)
-        )
-    )
+    raw_content_bytes = 0
+    for b in pads.dataset(corpus).to_batches(columns=["content"], batch_size=65536):
+        raw_content_bytes += pc.sum(pc.binary_length(b.column("content"))).as_py() or 0
+    raw_content_bytes = int(raw_content_bytes)
 
     out = tempfile.mkdtemp(prefix="skar_bench_")
     queries: dict[str, float] = {}

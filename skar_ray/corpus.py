@@ -198,14 +198,16 @@ def build_corpus(spec: CorpusSpec) -> pa.Table:
 
 
 def corpus_cache_dir(n_rows: int, seed: int = SEED, root: str = "/tmp/skar_ray_corpus") -> str:
-    return os.path.join(root, f"n{n_rows}-s{seed}")
+    return os.path.join(root, f"n{n_rows}-s{seed}-v2")
 
 
 def ensure_corpus(n_rows: int, seed: int = SEED, root: str = "/tmp/skar_ray_corpus") -> str:
     """Build (once) and cache the corpus + its zstd-Parquet reference oracle.
 
-    Returns the directory containing ``corpus.parquet`` (the input) and
-    ``reference_zstd.parquet`` (the size/sha256 oracle).
+    Returns the directory containing ``corpus.parquet`` (the input — a
+    DIRECTORY of part files so a distributed read parallelises; a single
+    giant file serialises `read_parquet` into one task) and
+    ``reference_zstd.parquet`` (the size/sha256 oracle, one file).
     """
     d = corpus_cache_dir(n_rows, seed, root)
     done = os.path.join(d, "_DONE")
@@ -213,13 +215,29 @@ def ensure_corpus(n_rows: int, seed: int = SEED, root: str = "/tmp/skar_ray_corp
         return d
     os.makedirs(d, exist_ok=True)
     t = build_corpus(CorpusSpec(n_rows=n_rows, seed=seed))
-    pq.write_table(t, os.path.join(d, "corpus.parquet"), compression="zstd")
+    part_dir = os.path.join(d, "corpus.parquet")
+    os.makedirs(part_dir, exist_ok=True)
+    total_bytes = sum(c.nbytes for c in t.column("content").chunks) or 1
+    n_parts = max(8, min(64, total_bytes // (64 << 20) or 1))
+    per = (t.num_rows + n_parts - 1) // n_parts
+    for i in range(n_parts):
+        sl = t.slice(i * per, per)
+        if sl.num_rows == 0:
+            break
+        pq.write_table(sl, os.path.join(part_dir, f"part-{i:04d}.parquet"), compression="zstd")
     # The reference footprint: same table, plain pyarrow zstd parquet
     # (mirrors skar's Plain + Zstd page compression baseline).
     pq.write_table(t, os.path.join(d, "reference_zstd.parquet"), compression="zstd")
     with open(done, "w") as f:
         f.write("ok")
     return d
+
+
+def read_corpus_table(path: str) -> pa.Table:
+    """Read the (possibly multi-file) corpus back as one pyarrow Table."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(path).to_table()
 
 
 def rows_for_sf(sf: float, cap: int | None = None) -> int:

@@ -42,6 +42,11 @@ def _clause_possible(stats: dict, col: str, op: str, value) -> bool:
         vals = value if op == "in" else [value]
         if distinct is not None:
             return any(v in distinct for v in vals)
+        if st.get("bloom"):
+            from ..state.bloom import SplitBlockBloom
+
+            bf = SplitBlockBloom.deserialize(st["bloom"])
+            return any(bf.might_contain(str(v).encode()) for v in vals)
         if lo is not None:
             return any(lo <= str(v) <= hi for v in vals)
         return True

@@ -20,7 +20,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..stages import ann, dedup, multimodal, text
+from ..stages import ann, dedup, joins, multimodal, text, windows
 from . import queries as Q
 
 # --------------------------------------------------------------- engine ops
@@ -208,6 +208,51 @@ def multimodal_audio(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+# --------------------------------------------------- windows / joins
+
+
+def tumbling_window(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+    return windows.tumbling_window_counts(ds)
+
+
+def session_window(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return windows.session_windows(ds, gap_minutes=60)
+
+
+def sliding_window(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return windows.sliding_window_peak(ds, window="6h")
+
+
+def join_one_to_one(sf_dir: str) -> pd.DataFrame:
+    """The receipts⋈transactions-style validated 1:1 broadcast join:
+    documents ⋈ embeddings on doc_id = vec_id (bijective by construction)."""
+    import pyarrow.parquet as pq
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]).to_pandas()
+    out = joins.broadcast_join_one_to_one(docs, emb, "doc_id", "vec_id").to_pandas()
+    out["label"] = out["label"].astype("int32")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def join_bucketed(sf_dir: str) -> pd.DataFrame:
+    """Both-sides-large partitioned hash join: orders ⋈ customer."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["custkey", "o_orderkey", "o_totalprice"]), batch_format="pyarrow"
+    )
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["custkey", "c_mktsegment"]), batch_format="pyarrow"
+    )
+    out = joins.bucket_hash_join(orders, cust, "custkey", n_buckets=16).to_pandas()
+    out = out.astype({"custkey": "int64", "o_orderkey": "int64", "o_totalprice": "float64"})
+    return out.sort_values(["o_orderkey"]).reset_index(drop=True)
+
+
 # --------------------------------------------------------------- registry
 
 _TOKEN_SQL = r"len(regexp_extract_all(text, '\S+'))"
@@ -283,6 +328,33 @@ QUERIES: dict[str, tuple] = {
         Q.cursor_page,
         f"SELECT event_id, ts, user_id FROM events WHERE ts >= TIMESTAMP '{Q.TS_LO}' "
         "ORDER BY ts, event_id LIMIT 100",
+    ),
+    # windows (stream-shaped, order-insensitive aggregates)
+    "tumbling_window": (
+        tumbling_window,
+        "SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n, "
+        "min(value) AS min_value, max(value) AS max_value "
+        "FROM events GROUP BY user_id, date_trunc('day', ts)",
+    ),
+    "session_window": (
+        session_window,
+        "WITH d AS (SELECT user_id, ts, "
+        " CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 60 MINUTE "
+        " THEN 1 ELSE 0 END AS brk FROM events) "
+        "SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events "
+        "FROM d GROUP BY user_id",
+    ),
+    "sliding_window": (sliding_window, None),
+    # joins
+    "join_one_to_one": (
+        join_one_to_one,
+        "SELECT d.doc_id, d.lang, d.n_chars, e.label FROM documents d "
+        "JOIN embeddings e ON d.doc_id = e.vec_id",
+    ),
+    "join_bucketed": (
+        join_bucketed,
+        "SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice, c.c_mktsegment "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey",
     ),
     # engine round-trips (identity oracles — the correctness heart)
     "encode_roundtrip_documents": (

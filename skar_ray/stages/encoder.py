@@ -154,6 +154,15 @@ def encode_partition(
             distinct = pc.unique(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
             if len(distinct) <= 64:
                 entry["distinct"] = sorted(distinct.to_pylist())
+            elif name != "content" and len(distinct) <= 100_000:
+                # SBBF sketch over the distinct set — skar's per-folder
+                # bloom (build_parquet_idx.rs:96-115) for point lookups
+                # on high-cardinality columns (path, commit)
+                from ..state.bloom import SplitBlockBloom
+
+                entry["bloom"] = SplitBlockBloom.build(
+                    [v.encode() for v in distinct.to_pylist() if v is not None]
+                ).serialize()
         stats[name] = entry
 
     m = manifest.PartitionManifest(

@@ -1,0 +1,125 @@
+"""Join operators.
+
+The reference's only general join is the exact 1:1 receipts⋈transactions
+hash join at columnarize time, which ERRORS on dangling rows on either
+side (/root/reference/skar/src/schema.rs:183-197,242-244).  We provide:
+
+- ``broadcast_join_one_to_one``: small side broadcast via ``ray.put``
+  once, probed per batch with a vectorised pandas merge; validates
+  exactly-one-match semantics like the reference.
+- ``bucket_hash_join``: both-sides-large portable pattern — add
+  ``bucket = hash(key) % B`` to both sides, co-group per bucket, merge
+  inside ``map_groups``.  B and skew handling documented at call site.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def broadcast_join_one_to_one(
+    large: "ray.data.Dataset",
+    small_df: pd.DataFrame,
+    left_key: str,
+    right_key: str,
+    validate: bool = True,
+) -> "ray.data.Dataset":
+    """Join `large` against a broadcast `small_df`; with ``validate``,
+    every left row must match exactly one right row and every right row
+    must be consumed (checked per-batch for left, by construction 1:1
+    via unique right keys) — skar's dangling-row errors."""
+    if validate and small_df[right_key].duplicated().any():
+        raise ValueError(f"right side has duplicate keys on {right_key}")
+    ref = ray.put(small_df)
+
+    class Probe:
+        def __init__(self, ref, left_key, right_key, validate):
+            self.small = ray.get(ref)  # fetched once per actor
+            self.left_key = left_key
+            self.right_key = right_key
+            self.validate = validate
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            merged = batch.merge(
+                self.small, how="left" if not self.validate else "inner",
+                left_on=self.left_key, right_on=self.right_key,
+            )
+            if self.validate and len(merged) != len(batch):
+                missing = set(batch[self.left_key]) - set(self.small[self.right_key])
+                raise ValueError(f"dangling left rows, e.g. {sorted(missing)[:5]}")
+            if self.left_key != self.right_key:
+                merged = merged.drop(columns=[self.right_key])
+            return merged
+
+    return large.map_batches(
+        Probe, fn_constructor_args=(ref, left_key, right_key, validate),
+        batch_format="pandas", concurrency=(1, 4),
+    )
+
+
+def bucket_hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    n_buckets: int = 32,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Partitioned hash join: bucket both sides on ``crc32(key) % B``,
+    pad to a shared schema, union, co-group per bucket, pandas-merge
+    within each.  Column names (other than the key) must be disjoint.
+    Skewed hot keys should be pre-salted into sub-buckets by the caller
+    (same technique as the encode partitioner)."""
+    import zlib
+
+    l_names = [n for n in left.schema().names if n != key]
+    r_names = [n for n in right.schema().names if n != key]
+    if set(l_names) & set(r_names):
+        raise ValueError(f"overlapping non-key columns: {set(l_names) & set(r_names)}")
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        import numpy as np
+
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except Exception:
+            return pa.string()
+
+    l_types = {n: _pa_type(t) for n, t in zip(left.schema().names, left.schema().types)}
+    r_types = {n: _pa_type(t) for n, t in zip(right.schema().names, right.schema().types)}
+    all_fields = [(key, l_types[key])] + [(n, l_types[n]) for n in l_names] + [
+        (n, r_types[n]) for n in r_names
+    ]
+
+    def add_bucket(side: str, own: list[str]):
+        def f(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key).to_pylist()
+            b = [zlib.crc32(str(k).encode()) % n_buckets for k in keys]
+            cols = {}
+            for name, typ in all_fields:
+                if name == key or name in own:
+                    cols[name] = batch.column(name)
+                else:
+                    cols[name] = pa.nulls(batch.num_rows, type=typ)
+            t = pa.table(cols)
+            t = t.append_column("__bucket", pa.array(b, type=pa.int64()))
+            return t.append_column("__side", pa.array([side] * len(b)))
+
+        return f
+
+    both = left.map_batches(add_bucket("L", l_names), batch_format="pyarrow").union(
+        right.map_batches(add_bucket("R", r_names), batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "L"][[key, *l_names]]
+        r = g[g["__side"] == "R"][[key, *r_names]]
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({name: pd.Series(dtype="object") for name, _ in all_fields})
+        return l.merge(r, on=key, how=how)
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

@@ -71,9 +71,9 @@ def repo_size_prepass_fast(corpus_path: str) -> pa.Table:
 
     total_rows = 0
     content_bytes = 0
-    for path in ([corpus_path] if corpus_path.endswith(".parquet") else [
+    for path in ([
         os.path.join(corpus_path, f) for f in sorted(os.listdir(corpus_path)) if f.endswith(".parquet")
-    ]):
+    ] if os.path.isdir(corpus_path) else [corpus_path]):
         md = pq.read_metadata(path)
         total_rows += md.num_rows
         for rg in range(md.num_row_groups):

@@ -1,0 +1,95 @@
+"""Stream-shaped windowed operators over the ordered `events` log.
+
+Ray Data has no event-time windows; the reference is a micro-batch
+tip-follower, not a window engine either (SURVEY §2.8).  We implement
+the windows a training-data pipeline needs as
+``groupby(key).map_groups`` over per-key ts-sorted groups — the
+documented pattern for stream-shaped workloads.  Partitioning
+assumption (stated per the §2 custom-operator rule): all rows of one
+key fit one group task; keys are the parallelism unit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def tumbling_window_counts(ds: "ray.data.Dataset", freq: str = "D") -> pd.DataFrame:
+    """Per (user_id, day) tumbling window: row count + min/max value.
+
+    Uses only order-insensitive aggregates (count/min/max) so the result
+    is bit-stable under any execution order.
+    """
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        g["day"] = g["ts"].dt.floor(freq)
+        out = g.groupby("day", as_index=False).agg(
+            n=("event_id", "size"), min_value=("value", "min"), max_value=("value", "max")
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    res = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+    res["n"] = res["n"].astype("int64")
+    return res
+
+
+def session_windows(ds: "ray.data.Dataset", gap_minutes: int = 60) -> pd.DataFrame:
+    """Per-user session count + total events, sessions split at
+    inactivity gaps > ``gap_minutes`` (classic sessionisation)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        n_sessions = int(gaps.sum()) + 1 if len(g) else 0
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(g)]}
+        )
+
+    res = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    return res.astype({"user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
+
+
+def sliding_window_peak(ds: "ray.data.Dataset", window: str = "6h", step_hours: int = 1) -> pd.DataFrame:
+    """Per user: the peak event count over sliding windows of `window`
+    advancing by `step_hours` (late-data tolerant: windows are derived
+    from event time, not arrival order). Returns (user_id, peak_count)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy()
+        if len(ts) == 0:
+            return pd.DataFrame({"user_id": [], "peak_count": []})
+        w = np.timedelta64(int(pd.Timedelta(window).total_seconds()), "s")
+        # two-pointer sweep: windows anchored at each event
+        peak = 0
+        j = 0
+        for i in range(len(ts)):
+            while ts[i] - ts[j] >= w:
+                j += 1
+            peak = max(peak, i - j + 1)
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "peak_count": [peak]})
+
+    res = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    return res.astype({"user_id": "int64", "peak_count": "int64"})

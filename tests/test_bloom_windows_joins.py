@@ -1,0 +1,106 @@
+"""SBBF bloom properties, window operators, join operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from skar_ray.state.bloom import SplitBlockBloom
+
+
+def test_bloom_no_false_negatives():
+    vals = [f"src/dir{i}/file{i}.py".encode() for i in range(5000)]
+    bf = SplitBlockBloom.build(vals)
+    assert all(bf.might_contain(v) for v in vals)
+
+
+def test_bloom_low_false_positive_rate():
+    vals = [f"present-{i}".encode() for i in range(5000)]
+    bf = SplitBlockBloom.build(vals, bits_per_value=16)
+    probes = [f"absent-{i}".encode() for i in range(5000)]
+    fp = sum(bf.might_contain(p) for p in probes) / len(probes)
+    assert fp < 0.01, fp
+
+
+def test_bloom_serialize_roundtrip():
+    vals = [b"a", b"b", b"c"]
+    bf = SplitBlockBloom.build(vals)
+    bf2 = SplitBlockBloom.deserialize(bf.serialize())
+    assert np.array_equal(bf.blocks, bf2.blocks)
+    assert all(bf2.might_contain(v) for v in vals)
+
+
+def test_bloom_empty():
+    bf = SplitBlockBloom.build([])
+    assert not bf.might_contain(b"anything")
+
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session):
+    import ray.data
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:30", "2024-01-01 05:00",
+         "2024-01-02 10:00", "2024-01-02 10:10", "2024-01-02 10:20"]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": list(ts),
+            "user_id": [1, 1, 1, 2, 2, 2],
+            "value": [5.0, 1.0, 9.0, 2.0, 8.0, 3.0],
+        }
+    )
+    return ray.data.from_pandas(df)
+
+
+def test_tumbling_window(events_ds):
+    from skar_ray.stages.windows import tumbling_window_counts
+
+    out = tumbling_window_counts(events_ds)
+    assert len(out) == 2
+    u1 = out[out.user_id == 1].iloc[0]
+    assert u1["n"] == 3 and u1["min_value"] == 1.0 and u1["max_value"] == 9.0
+
+
+def test_session_window(events_ds):
+    from skar_ray.stages.windows import session_windows
+
+    out = session_windows(events_ds, gap_minutes=60)
+    # user 1: 00:00,00:30 | 05:00 → 2 sessions; user 2: one session
+    assert out[out.user_id == 1]["n_sessions"].iloc[0] == 2
+    assert out[out.user_id == 2]["n_sessions"].iloc[0] == 1
+
+
+def test_sliding_window_peak(events_ds):
+    from skar_ray.stages.windows import sliding_window_peak
+
+    out = sliding_window_peak(events_ds, window="1h")
+    assert out[out.user_id == 1]["peak_count"].iloc[0] == 2
+    assert out[out.user_id == 2]["peak_count"].iloc[0] == 3
+
+
+def test_broadcast_join_validates_dangling(ray_session):
+    import ray.data
+
+    from skar_ray.stages.joins import broadcast_join_one_to_one
+
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3], "a": ["x", "y", "z"]}))
+    small = pd.DataFrame({"kk": [1, 2], "b": [10, 20]})
+    with pytest.raises(Exception, match="dangling|UserCode"):
+        broadcast_join_one_to_one(left, small, "k", "kk").to_pandas()
+    small_dup = pd.DataFrame({"kk": [1, 1, 2, 3], "b": [10, 11, 20, 30]})
+    with pytest.raises(ValueError, match="duplicate"):
+        broadcast_join_one_to_one(left, small_dup, "k", "kk")
+
+
+def test_bucket_hash_join(ray_session):
+    import ray.data
+
+    from skar_ray.stages.joins import bucket_hash_join
+
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4], "a": ["w", "x", "y", "z"]}))
+    right = ray.data.from_pandas(pd.DataFrame({"k": [2, 3, 3, 5], "b": [20, 30, 31, 50]}))
+    out = bucket_hash_join(left, right, "k", n_buckets=4).to_pandas()
+    out = out.sort_values(["k", "b"]).reset_index(drop=True)
+    assert out["k"].tolist() == [2, 3, 3]
+    assert out["b"].tolist() == [20, 30, 31]

@@ -14,6 +14,8 @@ import shutil
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+from skar_ray.corpus import read_corpus_table
 import pytest
 
 from skar_ray.corpus import ensure_corpus
@@ -46,7 +48,7 @@ def _normalize(t: pa.Table) -> pa.Table:
 
 def test_roundtrip_bit_identical(encoded):
     corpus, _ = encoded
-    src = pq.read_table(corpus)
+    src = read_corpus_table(corpus)
     dec = decoded_dataset(OUT, verify=True).to_pandas()
     got = _normalize(pa.Table.from_pandas(dec).cast(src.schema))
     want = _normalize(src)
@@ -57,7 +59,7 @@ def test_roundtrip_bit_identical(encoded):
 
 def test_per_row_sha256_equality(encoded):
     corpus, _ = encoded
-    src = pq.read_table(corpus, columns=["content"])
+    src = read_corpus_table(corpus).select(["content"])
     want = sorted(hashlib.sha256(v.as_py().encode()).hexdigest() for v in src.column("content"))
     dec = decoded_dataset(OUT, columns=["content"]).to_pandas()
     got = sorted(hashlib.sha256(v.encode()).hexdigest() for v in dec["content"])

@@ -6,6 +6,8 @@ import shutil
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+from skar_ray.corpus import read_corpus_table
 import pytest
 
 from skar_ray.corpus import ensure_corpus
@@ -27,7 +29,7 @@ def encoded(ray_session):
 
 
 def test_projection_and_filter_match_source(encoded):
-    src = pq.read_table(encoded)
+    src = read_corpus_table(encoded)
     langs = ["python", "rust"]
     want = (
         src.filter(pc.is_in(src["lang"], value_set=pa.array(langs)))
@@ -46,7 +48,7 @@ def test_projection_and_filter_match_source(encoded):
 
 
 def test_dnf_or_semantics(encoded):
-    src = pq.read_table(encoded)
+    src = read_corpus_table(encoded)
     m1 = pc.equal(src["lang"], "go")
     m2 = pc.and_(pc.equal(src["lang"], "python"), pc.starts_with(src["path"], pattern="src/"))
     want = src.filter(pc.or_(m1, m2)).num_rows
@@ -72,7 +74,7 @@ def test_partition_pruning_skips(encoded):
     kept = prune_partitions(manifests, [[("repo", "==", r)]])
     assert len(kept) < len(manifests)
     # and the query still returns the right rows
-    src = pq.read_table(encoded)
+    src = read_corpus_table(encoded)
     want = src.filter(pc.equal(src["repo"], r)).num_rows
     assert query_encoded(OUT, columns=["repo"], filters=[[("repo", "==", r)]]).count() == want
 
