@@ -32,47 +32,18 @@ Clause = tuple[str, str, Any]
 DNF = list[list[Clause]]
 
 
-def _clause_possible(stats: dict, col: str, op: str, value) -> bool:
-    """Can any row of a partition satisfy the clause, given its stats?
-    (Conservative: unknown stats ⇒ possible.)"""
-    st = stats.get(col) or {}
-    distinct = st.get("distinct")
-    lo, hi = st.get("min"), st.get("max")
-    if op in ("==", "in"):
-        vals = value if op == "in" else [value]
-        if distinct is not None:
-            return any(v in distinct for v in vals)
-        if st.get("bloom"):
-            from ..state.bloom import SplitBlockBloom
-
-            bf = SplitBlockBloom.deserialize(st["bloom"])
-            return any(bf.might_contain(str(v).encode()) for v in vals)
-        if lo is not None:
-            return any(lo <= str(v) <= hi for v in vals)
-        return True
-    if op == "prefix" and lo is not None:
-        v = str(value)
-        return lo[: len(v)] <= v <= hi[: len(v)]
-    if lo is None:
-        return True
-    v = str(value)
-    if op in (">=", ">"):
-        return hi >= v if op == ">=" else hi > v
-    if op in ("<=", "<"):
-        return lo <= v if op == "<=" else lo < v
-    return True  # != and unknown ops never prune
-
-
 def prune_partitions(manifests: dict[int, manifest_mod.PartitionManifest], dnf: DNF | None) -> list[int]:
     """Partition ids that may contain matches (skar's prune_query,
     handler.rs:187-250: a folder is skipped only when EVERY selection
     is impossible)."""
+    from ..state.pruning import dnf_possible
+
     if not dnf:
         return sorted(manifests)
     keep = []
     for pid, m in sorted(manifests.items()):
         stats = (m.extra or {}).get("stats", {})
-        if any(all(_clause_possible(stats, c, op, v) for c, op, v in conj) for conj in dnf):
+        if dnf_possible(lambda c: stats.get(c), dnf):
             keep.append(pid)
     return keep
 
@@ -133,7 +104,7 @@ def query_encoded(
     mds = ray.data.from_items(rows)
     ds = mds.map_batches(
         DecoderActor,
-        fn_constructor_kwargs=dict(out_dir=out_dir, columns=read_cols, verify=False),
+        fn_constructor_kwargs=dict(out_dir=out_dir, columns=read_cols, verify=False, dnf=filters),
         batch_format="pyarrow",
         batch_size=1,
         concurrency=concurrency,

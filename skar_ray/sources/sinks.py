@@ -1,0 +1,63 @@
+"""Sinks — the reference's response/output formats, Ray-side.
+
+skar answers queries as (a) Arrow IPC files with ZSTD-compressed
+buffers (/root/reference/skar/src/server.rs:133-166) and (b) JSON with
+every binary column hex-encoded as ``0x…`` strings (server.rs:289-343,
+hex encoding :444-497).  Plus the obvious Parquet sink for decoded
+data.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.ipc as ipc
+
+import ray.data
+
+
+def write_parquet(ds: "ray.data.Dataset", path: str, **kwargs) -> None:
+    ds.write_parquet(path, **kwargs)
+
+
+def write_arrow_ipc(table_or_ds, path: str) -> int:
+    """One Arrow IPC file with zstd-compressed buffers (skar's
+    /query/arrow-ipc response body, minus the Cap'n Proto envelope).
+    For small/aggregate results — a Dataset is materialized."""
+    if isinstance(table_or_ds, ray.data.Dataset):
+        table = pa.Table.from_pandas(table_or_ds.to_pandas())
+    else:
+        table = table_or_ds
+    options = ipc.IpcWriteOptions(compression="zstd")
+    with ipc.new_file(path, table.schema, options=options) as w:
+        w.write_table(table)
+    import os
+
+    return os.path.getsize(path)
+
+
+def hex_encode_binary_columns(t: pa.Table) -> pa.Table:
+    """Convert every binary column to a ``0x…`` hex Utf8 column — the
+    reference's JSON response encoding (server.rs:444-497), as a
+    vectorised batch op usable inside ``map_batches``."""
+    out = {}
+    for name in t.column_names:
+        col = t.column(name)
+        typ = col.type
+        if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+            import numpy as np
+
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            hexed = pa.array(
+                [None if v is None else "0x" + v.hex() for v in arr.to_pylist()],
+                type=pa.string(),
+            )
+            out[name] = hexed
+        else:
+            out[name] = col
+    return pa.table(out)
+
+
+def write_json_hex(ds: "ray.data.Dataset", path: str) -> None:
+    """JSON sink with binary columns hex-encoded (skar's JSON responses)."""
+    ds.map_batches(hex_encode_binary_columns, batch_format="pyarrow").write_json(path)

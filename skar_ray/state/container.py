@@ -25,6 +25,28 @@ from ..codecs import auto, base
 MAGIC = b"SKRC1\n"
 
 
+def _chunk_minmax(col) -> list | None:
+    """[min, max] as strings for string chunks — the per-row-group
+    min/max the reference stores for pruning (build_parquet_idx.rs:50-70)."""
+    import pyarrow.compute as pc
+
+    try:
+        t = col.type
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)) or len(col) == 0:
+            return None
+        mm = pc.min_max(col)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None:
+            return None
+        if len(lo) > 64:
+            lo = lo[:64]
+        if len(hi) > 64:
+            hi = hi[:64] + "￿"
+        return [lo, hi]
+    except Exception:
+        return None
+
+
 def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]] | None = None,
                     codec_overrides: dict[str, str] | None = None,
                     extra: dict | None = None) -> dict:
@@ -74,6 +96,7 @@ def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]
             enc = auto.encode_column(col, codec, fsst_table=fsst_table)
             if first_chunk:
                 enc.estimates = estimates
+            minmax = _chunk_minmax(col)
             cols_meta.append(
                 {
                     "name": name,
@@ -85,6 +108,7 @@ def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]
                     "payload_len": enc.payload_len,
                     "raw_bytes": enc.raw_bytes,
                     "estimates": enc.estimates,
+                    "minmax": minmax,
                 }
             )
             blobs.append(enc.blob)
@@ -120,11 +144,15 @@ def read_header(path: str) -> tuple[dict, int]:
 
 
 def read_container(path: str, columns: list[str] | None = None,
-                   chunk_indices: list[int] | None = None) -> pa.Table:
+                   chunk_indices: list[int] | None = None,
+                   dnf=None) -> pa.Table:
     """Decode a container back to a pyarrow Table (projected, chunk-pruned).
 
     Mirrors the reference's projected + row-group-pruned Parquet reader
-    (/root/reference/skar/src/query/data_provider.rs:121-183).
+    (/root/reference/skar/src/query/data_provider.rs:121-183).  ``dnf``
+    prunes whole chunks via their per-column min/max (row-group skip,
+    data_provider.rs:250-333) — the decoded result still needs the
+    exact row filter applied downstream.
     """
     header, blob_start = read_header(path)
     schema_cols = [name for name, _ in header["schema"]]
@@ -132,6 +160,18 @@ def read_container(path: str, columns: list[str] | None = None,
     chunks = header["chunks"]
     if chunk_indices is not None:
         chunks = [chunks[i] for i in chunk_indices]
+    if dnf:
+        from .pruning import dnf_possible
+
+        def keep(ch):
+            mm = {
+                cm["name"]: cm.get("minmax") for cm in ch["columns"] if cm.get("minmax")
+            }
+            return dnf_possible(
+                lambda c: {"min": mm[c][0], "max": mm[c][1]} if c in mm else {}, dnf
+            )
+
+        chunks = [ch for ch in chunks if keep(ch)]
     arrays: dict[str, list[pa.Array]] = {name: [] for name in want}
     with open(path, "rb") as f:
         for ch in chunks:

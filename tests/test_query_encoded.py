@@ -87,3 +87,30 @@ def test_impossible_filter_prunes_everything(encoded):
     manifests = manifest_mod.scan_manifests(OUT)
     kept = prune_partitions(manifests, [[("repo", "==", "no-such/repo")]])
     assert kept == []
+
+
+def test_chunk_pruning_correct_and_effective(encoded):
+    """Row-group-analog pruning: chunk min/max on the sorted path column
+    lets a prefix query skip chunks, with identical final results."""
+    import glob
+
+    from skar_ray.state import container
+
+    paths = sorted(glob.glob(os.path.join(OUT, "*.skarc")))
+    multi = [p for p in paths if len(container.read_header(p)[0]["chunks"]) > 1]
+    assert multi, "need a multi-chunk container for this test"
+    p = multi[0]
+    header, _ = container.read_header(p)
+    # probe with the max path of the LAST chunk's minmax → prunes earlier chunks
+    last_mm = header["chunks"][-1]["columns"]
+    mm = {cm["name"]: cm.get("minmax") for cm in last_mm}
+    probe = mm["path"][0]
+    dnf = [[("path", ">=", probe)]]
+    full = container.read_container(p, columns=["path"])
+    pruned = container.read_container(p, columns=["path"], dnf=dnf)
+    assert pruned.num_rows <= full.num_rows
+    import pyarrow.compute as pc2
+
+    want = full.filter(pc2.greater_equal(full["path"], probe)).column("path").to_pylist()
+    got = pruned.filter(pc2.greater_equal(pruned["path"], probe)).column("path").to_pylist()
+    assert sorted(got) == sorted(want)

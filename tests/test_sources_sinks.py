@@ -1,0 +1,54 @@
+"""Sources/sinks: read_skarc, Arrow-IPC sink, hex-JSON encoding."""
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.ipc as ipc
+import pytest
+
+from skar_ray.sources.readers import read_skarc
+from skar_ray.sources.sinks import hex_encode_binary_columns, write_arrow_ipc
+
+
+def test_hex_encode_binary_columns():
+    t = pa.table(
+        {
+            "a": pa.array([b"\x00\xff", None, b""], type=pa.binary()),
+            "b": pa.array([1, 2, 3]),
+            "c": pa.array([b"xy"], type=pa.large_binary()).take(pa.array([0, 0, 0])),
+        }
+    )
+    out = hex_encode_binary_columns(t)
+    assert out.column("a").to_pylist() == ["0x00ff", None, "0x"]
+    assert out.column("b").to_pylist() == [1, 2, 3]
+    assert out.column("c").to_pylist() == ["0x7879"] * 3
+
+
+def test_write_arrow_ipc_roundtrip(tmp_path):
+    t = pa.table({"x": [1, 2, 3], "s": ["a", "b", "c"]})
+    p = str(tmp_path / "out.arrow")
+    size = write_arrow_ipc(t, p)
+    assert size > 0
+    back = ipc.open_file(p).read_all()
+    assert back.equals(t)
+
+
+def test_read_skarc_roundtrip(ray_session):
+    import shutil
+
+    from skar_ray.corpus import ensure_corpus
+    from skar_ray.pipelines.encode_job import run_encode_job
+
+    d = ensure_corpus(2000)
+    out = tempfile.mkdtemp(prefix="skar_src_test_")
+    try:
+        run_encode_job(os.path.join(d, "corpus.parquet"), out,
+                       target_partition_bytes=2 << 20, chunk_target_bytes=1 << 20)
+        ds = read_skarc(out, columns=["repo", "lang"], filters=[[("lang", "==", "python")]])
+        df = ds.to_pandas()
+        assert set(df.columns) == {"repo", "lang"}
+        assert (df["lang"] == "python").all()
+        assert len(df) > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
