@@ -221,6 +221,64 @@ def count_by_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def groupby_topk(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-k (window-function analog): top-3 customers by
+    acctbal within each market segment, deterministic tie-break."""
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True]).head(3)
+
+    out = ds.groupby("c_mktsegment").map_groups(topk, batch_format="pandas").to_pandas()
+    return out.sort_values(["c_mktsegment", "c_acctbal", "c_custkey"],
+                           ascending=[True, False, True]).reset_index(drop=True)
+
+
+def distinct_pairs(sf_dir: str) -> pd.DataFrame:
+    """Multi-column distinct via per-batch partial unique → tiny merge."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    partial = ds.map_batches(
+        lambda t: pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates(), preserve_index=False
+        ),
+        batch_format="pyarrow",
+    )
+    out = partial.to_pandas().drop_duplicates()
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def token_frequency(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary: top-50 whitespace tokens by count — per-batch
+    Counter partials pre-aggregate before the (tiny) global merge, the
+    canonical shuffle-avoidance pattern for vocab building."""
+    from collections import Counter
+    import re
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    tok = re.compile(r"\S+")
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for s in batch["text"]:
+            c.update(tok.findall(s))
+        if not c:
+            return pd.DataFrame({"token": [], "n": []})
+        items = c.most_common()
+        return pd.DataFrame({"token": [k for k, _ in items], "n": [v for _, v in items]})
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    merged["n"] = merged["n"].astype("int64")
+    out = merged.sort_values(["n", "token"], ascending=[False, True]).head(50)
+    return out.reset_index(drop=True)
+
+
 def cursor_page(sf_dir: str) -> "ray.data.Dataset":
     """Cursor-paging analog (next_block, handler.rs:252-258): ordered page
     after a cursor position."""

@@ -329,6 +329,23 @@ QUERIES: dict[str, tuple] = {
         f"SELECT event_id, ts, user_id FROM events WHERE ts >= TIMESTAMP '{Q.TS_LO}' "
         "ORDER BY ts, event_id LIMIT 100",
     ),
+    "groupby_topk": (
+        Q.groupby_topk,
+        "SELECT c_custkey, c_mktsegment, c_acctbal FROM ("
+        " SELECT c_custkey, c_mktsegment, c_acctbal, row_number() OVER ("
+        "  PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer)"
+        " WHERE rn <= 3",
+    ),
+    "distinct_pairs": (
+        Q.distinct_pairs,
+        "SELECT DISTINCT lang, source FROM documents",
+    ),
+    "token_frequency": (
+        Q.token_frequency,
+        r"SELECT token, count(*) AS n FROM ("
+        r" SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)"
+        r" GROUP BY token ORDER BY n DESC, token LIMIT 50",
+    ),
     # windows (stream-shaped, order-insensitive aggregates)
     "tumbling_window": (
         tumbling_window,

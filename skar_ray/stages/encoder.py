@@ -97,6 +97,17 @@ def encode_partition(
 ) -> pa.Table:
     """Encode one partition; returns a 1-row summary table."""
     t0 = time.time()
+    if group.num_rows == 0:
+        return pa.table(
+            {
+                "partition_id": pa.array([], type=pa.int64()),
+                "n_rows": pa.array([], type=pa.int64()),
+                "raw_bytes": pa.array([], type=pa.int64()),
+                "enc_bytes": pa.array([], type=pa.int64()),
+                "content_sha256": pa.array([], type=pa.string()),
+                "skipped": pa.array([], type=pa.bool_()),
+            }
+        )
     timings: dict[str, float] = {}
     pid = int(group.column("pkey")[0].as_py()) if "pkey" in group.column_names else 0
     data = group.drop_columns(["pkey"]) if "pkey" in group.column_names else group
