@@ -173,7 +173,7 @@ class SymbolTable:
         if len(codes) == 0:
             return b""
         out = []
-        CH = 1 << 22  # bound temp matrix to ~32 MB
+        CH = 1 << 18  # keep the (CH, 8) gather matrix cache-resident (~2 MB)
         for s in range(0, len(codes), CH):
             seg = codes[s : s + CH]
             lens = self._lens[seg]

@@ -48,6 +48,63 @@ def decoded_dataset(
     )
 
 
+def run_export_job(out_dir: str, dest_dir: str, columns: list[str] | None = None) -> dict:
+    """Decode encoded partitions back to a PARTITIONED Parquet directory —
+    one file per partition, written atomically (temp+rename) and skipped
+    if already present, so a failed export resumes where it stopped
+    (the resumable-output layout: never one giant file)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..state import container
+
+    os.makedirs(dest_dir, exist_ok=True)
+    manifests = manifest_mod.scan_manifests(out_dir)
+
+    class Exporter:
+        def __init__(self, out_dir: str, dest_dir: str, columns):
+            self.out_dir = out_dir
+            self.dest_dir = dest_dir
+            self.columns = columns
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pids, skipped = [], []
+            for i in range(batch.num_rows):
+                pid = batch.column("partition_id")[i].as_py()
+                dest = os.path.join(self.dest_dir, f"part-{pid:06d}.parquet")
+                if os.path.exists(dest):
+                    pids.append(pid)
+                    skipped.append(True)
+                    continue
+                t = container.read_container(
+                    os.path.join(self.out_dir, batch.column("data_file")[i].as_py()),
+                    columns=self.columns,
+                )
+                tmp = dest + ".tmp"
+                pq.write_table(t, tmp, compression="zstd")
+                os.replace(tmp, dest)
+                pids.append(pid)
+                skipped.append(False)
+            return pa.table({"partition_id": pa.array(pids, type=pa.int64()),
+                             "skipped": pa.array(skipped)})
+
+    res = (
+        manifests_dataset(out_dir)
+        .map_batches(
+            Exporter, fn_constructor_args=(out_dir, dest_dir, columns),
+            batch_format="pyarrow", batch_size=1, concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    return {
+        "partitions": len(manifests),
+        "exported": int((~res["skipped"]).sum()),
+        "skipped": int(res["skipped"].sum()),
+        "dest": dest_dir,
+    }
+
+
 def run_verify_job(corpus_path: str, out_dir: str) -> dict:
     """Decode every partition with digest verification; cross-check totals
     against the source corpus (row counts must match exactly)."""

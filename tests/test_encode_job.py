@@ -126,3 +126,22 @@ def test_resume_skips_done_partitions(ray_session, encoded):
         if f.endswith(".skarc")
     }
     assert before == after, "resume must not rewrite finished partitions"
+
+
+def test_export_job_resumable(ray_session, encoded, tmp_path):
+    from skar_ray.pipelines.decode_job import run_export_job
+
+    corpus, _ = encoded
+    dest = str(tmp_path / "export")
+    r1 = run_export_job(OUT, dest)
+    assert r1["exported"] > 0 and r1["skipped"] == 0
+    r2 = run_export_job(OUT, dest)
+    assert r2["exported"] == 0 and r2["skipped"] == r1["exported"]
+    # exported parquet holds exactly the source rows
+    back = read_corpus_table(dest)
+    src = read_corpus_table(corpus)
+    assert back.num_rows == src.num_rows
+    got = _normalize(back.cast(src.schema))
+    want = _normalize(src)
+    for col in want.column_names:
+        assert got.column(col).equals(want.column(col)), col
