@@ -49,6 +49,19 @@ def _auto_partition_bytes(total_bytes: int) -> int:
     return max(4 << 20, min(128 << 20, target))
 
 
+FAST_PROFILE_OVERRIDES = {
+    # speed-oriented profile: skip FSST (pure-Python chain is the CPU
+    # bottleneck), keep dict/rle for the run-heavy keys, rely on the
+    # zstd page pass for content — measured ~2x faster wall at ~3x
+    # (instead of ~5x) below the reference footprint
+    "content": "plain",
+    "path": "plain",
+    "repo": "rle",
+    "lang": "rle",
+    "commit": "dict",
+}
+
+
 def run_encode_job(
     corpus_path: str,
     out_dir: str,
@@ -58,7 +71,10 @@ def run_encode_job(
     resume: bool = True,
     concurrency: int | None = None,
     codec_overrides: dict[str, str] | None = None,
+    profile: str = "max",
 ) -> pa.Table:
+    if profile == "fast" and codec_overrides is None:
+        codec_overrides = FAST_PROFILE_OVERRIDES
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
 
