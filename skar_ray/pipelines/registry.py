@@ -226,6 +226,43 @@ def sliding_window(sf_dir: str) -> pd.DataFrame:
     return windows.sliding_window_peak(ds, window="6h")
 
 
+def asof_join(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    return windows.asof_join_events(ds)
+
+
+def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event_type via mergeable HLL
+    sketches: per-batch partial sketches → tiny driver merge.  Rows-only
+    (approximate); accuracy pinned by pytest against exact counts."""
+    from ..state.hll import HyperLogLog
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in batch.groupby("event_type"):
+            h = HyperLogLog(12)
+            h.add_many([int(u).to_bytes(8, "big") for u in g["user_id"]])
+            rows.append((et, h.serialize().hex()))
+        return pd.DataFrame(rows, columns=["event_type", "sketch"])
+
+    partials = ds.map_batches(sketch, batch_format="pandas").to_pandas()
+    merged: dict[str, "HyperLogLog"] = {}
+    for r in partials.itertuples():
+        h = HyperLogLog.deserialize(bytes.fromhex(r.sketch))
+        merged[r.event_type] = merged[r.event_type].merge(h) if r.event_type in merged else h
+    out = pd.DataFrame(
+        {
+            "event_type": sorted(merged),
+            "approx_users": [int(round(merged[k].estimate())) for k in sorted(merged)],
+        }
+    )
+    return out
+
+
 def join_one_to_one(sf_dir: str) -> pd.DataFrame:
     """The receipts⋈transactions-style validated 1:1 broadcast join:
     documents ⋈ embeddings on doc_id = vec_id (bijective by construction)."""
@@ -362,6 +399,14 @@ QUERIES: dict[str, tuple] = {
         "FROM d GROUP BY user_id",
     ),
     "sliding_window": (sliding_window, None),
+    "asof_join": (
+        asof_join,
+        "SELECT p.event_id, p.user_id, c.ts AS last_right_ts FROM "
+        "(SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts",
+    ),
+    "hll_distinct_users": (hll_distinct_users, None),
     # joins
     "join_one_to_one": (
         join_one_to_one,

@@ -66,6 +66,42 @@ def session_windows(ds: "ray.data.Dataset", gap_minutes: int = 60) -> pd.DataFra
     return res.astype({"user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
 
 
+def asof_join_events(ds: "ray.data.Dataset", left_type: str = "purchase",
+                     right_type: str = "click") -> pd.DataFrame:
+    """As-of join inside the ordered log: for every `left_type` event,
+    the most recent `right_type` event of the SAME user at ts <= left.ts
+    (inner semantics — lefts with no prior right are dropped).
+
+    Pattern per the custom-operator rule: bucket by key (user), sort by
+    ts within the group, ``pd.merge_asof`` per group.  Partitioning
+    assumption: one user's events fit one group task.
+    """
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type].sort_values(["ts", "event_id"])
+        right = g[g["event_type"] == right_type].sort_values(["ts", "event_id"])
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "last_right_ts": pd.Series(dtype="datetime64[us]")})
+        m = pd.merge_asof(
+            left[["event_id", "ts"]],
+            right[["ts"]].rename(columns={"ts": "last_right_ts"}),
+            left_on="ts", right_on="last_right_ts", direction="backward",
+        ).dropna(subset=["last_right_ts"])
+        m["user_id"] = g["user_id"].iloc[0]
+        return m[["event_id", "user_id", "last_right_ts"]]
+
+    res = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return res.astype({"event_id": "int64", "user_id": "int64"})
+
+
 def sliding_window_peak(ds: "ray.data.Dataset", window: str = "6h", step_hours: int = 1) -> pd.DataFrame:
     """Per user: the peak event count over sliding windows of `window`
     advancing by `step_hours` (late-data tolerant: windows are derived

@@ -104,3 +104,36 @@ def test_bucket_hash_join(ray_session):
     out = out.sort_values(["k", "b"]).reset_index(drop=True)
     assert out["k"].tolist() == [2, 3, 3]
     assert out["b"].tolist() == [20, 30, 31]
+
+
+def test_asof_join(events_ds, ray_session):
+    import ray.data
+
+    ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00", "2024-01-01 00:30"])
+    df = pd.DataFrame(
+        {
+            "event_id": [10, 11, 12, 13],
+            "ts": list(ts),
+            "user_id": [1, 1, 1, 2],
+            "event_type": ["click", "purchase", "purchase", "purchase"],
+        }
+    )
+    from skar_ray.stages.windows import asof_join_events
+
+    out = asof_join_events(ray.data.from_pandas(df))
+    # purchases 11 and 12 both resolve to the 00:00 click; user 2 has no click
+    assert out["event_id"].tolist() == [11, 12]
+    assert (out["last_right_ts"] == ts[0]).all()
+
+
+def test_hll_accuracy_and_merge():
+    from skar_ray.state.hll import HyperLogLog
+
+    h = HyperLogLog(12)
+    h.add_many([f"u{i}".encode() for i in range(50000)])
+    assert abs(h.estimate() - 50000) / 50000 < 0.05
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.add_many([f"u{i}".encode() for i in range(30000)])
+    b.add_many([f"u{i}".encode() for i in range(20000, 50000)])
+    m = HyperLogLog.deserialize(a.merge(b).serialize())
+    assert abs(m.estimate() - 50000) / 50000 < 0.05
