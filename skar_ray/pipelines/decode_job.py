@@ -32,12 +32,19 @@ def manifests_dataset(out_dir: str) -> "ray.data.Dataset":
     return ray.data.from_items(rows)
 
 
+def _pool_size() -> tuple[int, int]:
+    import ray
+
+    return (1, max(8, int(ray.cluster_resources().get("CPU", 8))))
+
+
 def decoded_dataset(
     out_dir: str,
     columns: list[str] | None = None,
     verify: bool = False,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> "ray.data.Dataset":
+    concurrency = concurrency or _pool_size()
     mds = manifests_dataset(out_dir)
     return mds.map_batches(
         DecoderActor,

@@ -85,9 +85,13 @@ def query_encoded(
     columns: list[str] | None = None,
     filters: DNF | None = None,
     limit: int | None = None,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> "ray.data.Dataset":
     """Projected, filtered, pruned read over encoded partitions."""
+    if concurrency is None:
+        from .decode_job import _pool_size
+
+        concurrency = _pool_size()
     manifests = manifest_mod.scan_manifests(out_dir)
     pids = prune_partitions(manifests, filters)
     filter_cols = sorted({c for conj in (filters or []) for c, _, _ in conj})
