@@ -71,7 +71,7 @@ class Encoded:
         return len(self.blob)
 
 
-_SAMPLE_BYTE_CAP = 1 << 20
+_SAMPLE_BYTE_CAP = 256 << 10
 
 
 def sample_of(arr: pa.Array, sample_rows: int = _SAMPLE_ROWS) -> pa.Array:

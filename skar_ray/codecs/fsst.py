@@ -208,7 +208,7 @@ class SymbolTable:
 class FsstCodec:
     name = "fsst"
 
-    def __init__(self, sample_bytes: int = 1 << 18):
+    def __init__(self, sample_bytes: int = 1 << 17):
         self.sample_bytes = sample_bytes
 
     def can_encode(self, t: pa.DataType) -> bool:

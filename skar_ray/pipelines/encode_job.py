@@ -159,6 +159,39 @@ def run_encode_job(
             zero_copy_batch=True,
         )
         summary = pa.Table.from_pandas(enc.to_pandas())
+    elif mode == "hashed":
+        plan, target_partition_bytes = _cached_plan(corpus_path, target_partition_bytes)
+        import hashlib as _hl
+
+        plan_hash = _hl.sha256(repr(sorted(plan.repos.items())).encode()).hexdigest()[:16]
+        input_fingerprint = f"{corpus_path}:{target_partition_bytes}:{plan_hash}"
+        done = manifest_mod.scan_manifests(out_dir) if resume else {}
+        done = {p: m for p, m in done.items() if m.input_fingerprint == input_fingerprint}
+        from .hash_exchange import run_hashed_encode
+
+        summary = run_hashed_encode(
+            corpus_path, out_dir, plan, chunk_target_bytes, input_fingerprint,
+            skip_pkeys=frozenset(done.keys()), codec_overrides=codec_overrides,
+        )
+        if done:
+            import pandas as pd
+
+            skipped_rows = pd.DataFrame(
+                [
+                    {
+                        "partition_id": m.partition_id,
+                        "n_rows": m.n_rows,
+                        "raw_bytes": m.raw_bytes,
+                        "enc_bytes": m.enc_bytes,
+                        "content_sha256": m.content_sha256,
+                        "skipped": True,
+                    }
+                    for m in done.values()
+                ]
+            )
+            summary = pa.Table.from_pandas(
+                pd.concat([summary.to_pandas(), skipped_rows], ignore_index=True)
+            )
     else:
         plan, target_partition_bytes = _cached_plan(corpus_path, target_partition_bytes)
         # resume only against manifests from the SAME plan — a different

@@ -145,3 +145,27 @@ def test_export_job_resumable(ray_session, encoded, tmp_path):
     want = _normalize(src)
     for col in want.column_names:
         assert got.column(col).equals(want.column(col)), col
+
+
+def test_hashed_mode_matches_grouped_and_resumes(ray_session, corpus_dir, tmp_path):
+    corpus = os.path.join(corpus_dir, "corpus.parquet")
+    out = str(tmp_path / "hashed")
+    s1 = run_encode_job(corpus, out, target_partition_bytes=2 << 20,
+                        chunk_target_bytes=1 << 20, mode="hashed")
+    assert s1.num_rows > 1
+    v = run_verify_job(corpus, out)
+    assert v["rows_match"] and v["digests_verified"]
+    # resume: all partitions skipped, files untouched
+    before = {f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out) if f.endswith(".skarc")}
+    s2 = run_encode_job(corpus, out, target_partition_bytes=2 << 20,
+                        chunk_target_bytes=1 << 20, mode="hashed")
+    assert s2.filter(pc.field("skipped")).num_rows == s2.num_rows
+    after = {f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out) if f.endswith(".skarc")}
+    assert before == after
+    # same partition contents as the grouped (sort-based) mode
+    out2 = str(tmp_path / "grouped")
+    g = run_encode_job(corpus, out2, target_partition_bytes=2 << 20,
+                       chunk_target_bytes=1 << 20, mode="grouped")
+    h_digests = sorted(s1.column("content_sha256").to_pylist())
+    g_digests = sorted(g.column("content_sha256").to_pylist())
+    assert h_digests == g_digests, "hash exchange must produce identical partitions"
