@@ -143,6 +143,14 @@ def dedup_minhash(sf_dir: str) -> pa.Table:
     return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.8)
 
 
+def dedup_minhash_keep(sf_dir: str) -> pd.DataFrame:
+    """Full near-dedup pipeline: MinHash-LSH pairs → connected
+    components → keep min doc_id per cluster + all unpaired docs."""
+    ds = _docs(sf_dir)
+    pairs = dedup.minhash_lsh_pairs(ds, threshold=0.8).to_pandas()
+    return dedup.dedup_keep_list(ds, pairs)
+
+
 def dedup_simhash(sf_dir: str) -> pa.Table:
     return dedup.simhash_pairs(_docs(sf_dir), max_hamming=3)
 
@@ -454,6 +462,7 @@ QUERIES: dict[str, tuple] = {
         "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
     ),
     "dedup_minhash": (dedup_minhash, None),
+    "dedup_minhash_keep": (dedup_minhash_keep, None),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_ngram": (dedup_ngram, None),
     "dedup_embedding": (dedup_embedding, None),

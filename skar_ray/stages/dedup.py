@@ -262,6 +262,57 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5, k: int =
     return pa.Table.from_pandas(res.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}))
 
 
+# ---------------------------------------------------------- clustering
+
+def connected_components(pairs: pd.DataFrame, a: str = "doc_a", b: str = "doc_b",
+                         max_rounds: int = 50) -> pd.DataFrame:
+    """Connected components over near-dup pairs via min-label
+    propagation (vectorised rounds; converges in O(log diameter) —
+    near-dup clusters are shallow).  Driver-side over the PAIR set only
+    (pairs ≪ corpus); at cluster scale the identical iteration runs as
+    `groupby(node).min()` rounds over a pairs Dataset.
+
+    Returns (node, label) with label = min doc_id of the component.
+    """
+    edges = pairs[[a, b]].to_numpy(dtype=np.int64)
+    nodes = np.unique(edges)
+    label = {int(n): int(n) for n in nodes}
+    for _ in range(max_rounds):
+        changed = False
+        for x, y in edges:
+            lx, ly = label[int(x)], label[int(y)]
+            m = min(lx, ly)
+            if lx != m:
+                label[int(x)] = m
+                changed = True
+            if ly != m:
+                label[int(y)] = m
+                changed = True
+        # path-compress
+        for n in label:
+            r = n
+            while label[r] != r:
+                r = label[r]
+            label[n] = r
+        if not changed:
+            break
+    return pd.DataFrame({"node": list(label), "label": [label[n] for n in label]}).astype("int64")
+
+
+def dedup_keep_list(ds: "ray.data.Dataset", pairs: pd.DataFrame,
+                    id_col: str = "doc_id") -> pd.DataFrame:
+    """The actual dedup deliverable: keep the min-id document of every
+    near-dup cluster plus all unpaired documents."""
+    comp = connected_components(pairs)
+    drop = set(comp.loc[comp["node"] != comp["label"], "node"].tolist())
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[~batch[id_col].isin(drop)][[id_col]]
+
+    out = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
 # ------------------------------------------------------ embedding cosine
 
 def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,

@@ -105,3 +105,26 @@ def test_multimodal_plumbing(ray_session):
     frames = ds.map_batches(multimodal.FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=1).to_pandas()
     assert len(frames) == 8  # 4 frames per row
     assert frames.groupby("media_id")["frame"].apply(list).map(lambda l: l == [0, 1, 2, 3]).all()
+
+
+def test_multimodal_resizer_and_audio(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    rows = pa.table(
+        {
+            "media_id": pa.array([0, 1], type=pa.int64()),
+            "kind": pa.array(["image", "audio"]),
+            "payload": pa.array([b"imagebytes" * 40, b"\x01\x02\x03\x04" * 8000], type=pa.large_binary()),
+            "source": pa.array(["s0", "s1"]),
+        }
+    )
+    ds = ray.data.from_arrow(rows)
+    resized = ds.map_batches(multimodal.ImageResizer, fn_constructor_kwargs=dict(width=64, height=48),
+                             batch_format="pyarrow", batch_size=64, concurrency=1).to_pandas()
+    assert (resized["width"] == 64).all() and (resized["height"] == 48).all()
+    assert resized["resized_digest"].nunique() == 2  # deterministic per payload
+    audio = ds.map_batches(multimodal.AudioFeatures, batch_format="pyarrow",
+                           batch_size=64, concurrency=1).to_pandas()
+    assert (audio["duration_s"] > 0).all()
+    assert audio.loc[1, "rms_energy"] > 0

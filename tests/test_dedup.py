@@ -13,18 +13,24 @@ BASE = (
 )
 
 
+_WORDS = BASE.replace(".", "").split()
+
+
 @pytest.fixture(scope="module")
 def docs_ds(ray_session):
     import ray.data
 
+    rng = np.random.default_rng(123)
     rows = []
     for i in range(40):
-        rows.append({"doc_id": i, "text": f"unique document number {i} " + BASE[: 100 + i * 7], "lang": "en"})
+        # independent docs: random word sequences (low cross-doc jaccard)
+        words = rng.choice(_WORDS, size=60).tolist()
+        rows.append({"doc_id": i, "text": f"doc {i}: " + " ".join(words), "lang": "en"})
     # exact duplicates
     rows.append({"doc_id": 100, "text": rows[0]["text"], "lang": "en"})
     rows.append({"doc_id": 101, "text": rows[0]["text"], "lang": "en"})
     # near duplicate of doc 5 (one word changed)
-    rows.append({"doc_id": 102, "text": rows[5]["text"].replace("quick", "quack", 1), "lang": "en"})
+    rows.append({"doc_id": 102, "text": rows[5]["text"].replace("the", "thy", 1), "lang": "en"})
     return ray.data.from_pandas(pd.DataFrame(rows))
 
 
@@ -79,3 +85,25 @@ def test_jaccard_helper():
     b = np.array([3, 4, 5, 6], dtype=np.uint64)
     assert dd.jaccard(a, b) == pytest.approx(2 / 6)
     assert dd.jaccard(a, a) == 1.0
+
+
+def test_connected_components_and_keep_list(docs_ds):
+    pairs = dd.minhash_lsh_pairs(docs_ds, threshold=0.7).to_pandas()
+    comp = dd.connected_components(pairs)
+    # 0,100,101 one cluster labelled 0; 5,102 one cluster labelled 5
+    lbl = dict(zip(comp["node"], comp["label"]))
+    assert lbl[100] == 0 and lbl[101] == 0 and lbl[102] == 5
+    kept = dd.dedup_keep_list(docs_ds, pairs)["doc_id"].tolist()
+    assert 0 in kept and 5 in kept
+    assert 100 not in kept and 101 not in kept and 102 not in kept
+    assert len(kept) == 40  # 43 docs - 3 dropped dups
+
+
+def test_connected_components_chain():
+    import pandas as pd
+
+    pairs = pd.DataFrame({"doc_a": [1, 2, 3, 10], "doc_b": [2, 3, 4, 11]})
+    comp = dd.connected_components(pairs)
+    lbl = dict(zip(comp["node"], comp["label"]))
+    assert lbl[1] == lbl[2] == lbl[3] == lbl[4] == 1
+    assert lbl[10] == lbl[11] == 10
