@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 
 from . import base
-from . import plain, dictionary, rle, for_bitpack, fsst  # noqa: F401  (register codecs)
+from . import plain, dictionary, rle, for_bitpack, fsst, delta  # noqa: F401  (register codecs)
 
 ZSTD_LEVEL = 9  # mirror of skar's Zstd(9) pages (write_parquet.rs:239)
 _SAMPLE_ROWS = 1024
@@ -25,7 +25,9 @@ _SAMPLE_ROWS = 1024
 def candidates_for(t: pa.DataType) -> list[str]:
     if base.is_string_like(t):
         return ["rle", "dict", "fsst", "plain"]
-    if base.is_int_like(t) or pa.types.is_boolean(t):
+    if base.is_int_like(t):
+        return ["for_bitpack", "delta", "rle", "dict", "plain"]
+    if pa.types.is_boolean(t):
         return ["for_bitpack", "rle", "dict", "plain"]
     if pa.types.is_floating(t):
         return ["rle", "dict", "plain"]

@@ -88,7 +88,7 @@ def run_export_job(out_dir: str, dest_dir: str, columns: list[str] | None = None
                     os.path.join(self.out_dir, batch.column("data_file")[i].as_py()),
                     columns=self.columns,
                 )
-                tmp = dest + ".tmp"
+                tmp = f"{dest}.tmp-{os.getpid()}"
                 pq.write_table(t, tmp, compression="zstd")
                 os.replace(tmp, dest)
                 pids.append(pid)

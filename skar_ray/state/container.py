@@ -122,7 +122,7 @@ def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]
         "extra": extra or {},
     }
     hjson = json.dumps(header).encode("utf-8")
-    tmp = path + ".tmp"
+    tmp = f"{path}.tmp-{os.getpid()}"  # unique per writer: a retried/speculative task must not tear a peer's temp file
     with open(tmp, "wb") as f:
         f.write(MAGIC)
         f.write(struct.pack("<Q", len(hjson)))

@@ -52,7 +52,7 @@ def write_manifest(out_dir: str, m: PartitionManifest) -> None:
     d = manifest_dir(out_dir)
     os.makedirs(d, exist_ok=True)
     p = _path_for(out_dir, m.partition_id)
-    tmp = p + ".tmp"
+    tmp = f"{p}.tmp-{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(asdict(m), f)
     os.replace(tmp, p)

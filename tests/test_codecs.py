@@ -73,7 +73,7 @@ def test_string_roundtrip(codec, case):
     _roundtrip(STRING_CASES[case], codec)
 
 
-@pytest.mark.parametrize("codec", ["plain", "dict", "rle", "for_bitpack"])
+@pytest.mark.parametrize("codec", ["plain", "dict", "rle", "for_bitpack", "delta"])
 @pytest.mark.parametrize("case", list(INT_CASES))
 def test_int_roundtrip(codec, case):
     arr = INT_CASES[case]
@@ -89,7 +89,7 @@ def test_float_roundtrip(codec, case):
 
 
 def test_registry_complete():
-    assert set(all_codecs()) >= {"plain", "dict", "rle", "for_bitpack", "fsst"}
+    assert set(all_codecs()) >= {"plain", "dict", "rle", "for_bitpack", "fsst", "delta"}
 
 
 def test_auto_selector_prefers_bitpack_for_tight_ints():
@@ -97,6 +97,12 @@ def test_auto_selector_prefers_bitpack_for_tight_ints():
     arr = pa.array((rng.integers(0, 1000, 50000) + 10**12).tolist())
     name, est = select_codec(arr)
     assert name == "for_bitpack", est
+
+
+def test_auto_selector_prefers_delta_for_monotonic():
+    arr = pa.array((np.arange(50000) + 10**12).tolist())
+    name, est = select_codec(arr)
+    assert name == "delta", est
 
 
 def test_auto_selector_prefers_dict_or_rle_for_low_cardinality():

@@ -39,7 +39,7 @@ def test_string_codecs_roundtrip(vals, codec):
 
 
 @settings(**_SETTINGS)
-@given(vals=ints, codec=st.sampled_from(["plain", "dict", "rle", "for_bitpack"]))
+@given(vals=ints, codec=st.sampled_from(["plain", "dict", "rle", "for_bitpack", "delta"]))
 def test_int_codecs_roundtrip(vals, codec):
     arr = pa.array(vals, type=pa.int64())
     payload, meta = encode_array(arr, codec)

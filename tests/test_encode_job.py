@@ -86,7 +86,7 @@ def test_manifest_lineage(encoded):
         assert m.status == "done"
         assert set(m.columns) == {"repo", "path", "commit", "lang", "content"}
         for st in m.columns.values():
-            assert st["codec"] in ("plain", "dict", "rle", "for_bitpack", "fsst")
+            assert st["codec"] in ("plain", "dict", "rle", "for_bitpack", "fsst", "delta")
         assert m.enc_bytes > 0 and m.raw_bytes > 0
         assert len(m.content_sha256) == 64
 
