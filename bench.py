@@ -91,6 +91,24 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
+    fast_s = fast_bytes = None
+    if not os.environ.get("SKAR_BENCH_MINIMAL"):
+        # secondary operating point: speed profile (plain content + zstd pages)
+        out2 = tempfile.mkdtemp(prefix="skar_bench_fast_")
+        try:
+            t0 = time.time()
+            s2 = run_encode_job(
+                out_dir=out2, corpus_path=corpus, target_partition_bytes=32 << 20,
+                chunk_target_bytes=16 << 20, resume=False, mode="hashed", profile="fast",
+            )
+            fast_s = round(time.time() - t0, 3)
+            import pyarrow.compute as pcf
+
+            fast_bytes = int(pcf.sum(s2.column("enc_bytes")).as_py())
+            queries["encode_fast_profile"] = fast_s
+        finally:
+            shutil.rmtree(out2, ignore_errors=True)
+
     # representative operator timings over the driver's tables
     if not os.environ.get("SKAR_BENCH_MINIMAL"):
         from skar_ray.pipelines.registry import QUERIES
@@ -119,6 +137,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "reference_zstd_parquet_bytes": ref_bytes,
         "compression_vs_reference": round(ref_bytes / max(1, enc_bytes), 3),
         "encode_gbps": round(gbps, 3),
+        **(
+            {
+                "fast_profile_sec": fast_s,
+                "fast_profile_gbps": round(raw_content_bytes / max(1e-9, fast_s) / 1e9, 3),
+                "fast_profile_compression_vs_reference": round(ref_bytes / max(1, fast_bytes), 3),
+            }
+            if fast_s
+            else {}
+        ),
     }
 
 
