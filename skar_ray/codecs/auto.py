@@ -31,6 +31,8 @@ def candidates_for(t: pa.DataType) -> list[str]:
         return ["for_bitpack", "rle", "dict", "plain"]
     if pa.types.is_floating(t):
         return ["rle", "dict", "plain"]
+    if base.is_numeric_list(t):
+        return ["plain"]  # lengths+values layout; child-level codecs TBD
     return ["plain"]
 
 

@@ -49,6 +49,11 @@ def is_numeric(t: pa.DataType) -> bool:
     return is_int_like(t) or pa.types.is_floating(t) or pa.types.is_boolean(t)
 
 
+def is_numeric_list(t: pa.DataType) -> bool:
+    """list<numeric> / large_list<numeric> — embedding columns etc."""
+    return (pa.types.is_list(t) or pa.types.is_large_list(t)) and is_numeric(t.value_type)
+
+
 def type_name(t: pa.DataType) -> str:
     return str(t)
 
@@ -59,6 +64,12 @@ def type_from_name(name: str) -> pa.DataType:
             return t
     if name.startswith("timestamp["):
         return pa.timestamp(name[len("timestamp[") : -1])
+    for prefix, ctor in (("list<", pa.list_), ("large_list<", pa.large_list)):
+        if name.startswith(prefix) and name.endswith(">"):
+            inner = name[len(prefix) : -1]
+            if ": " in inner:
+                inner = inner.split(": ", 1)[1]
+            return ctor(type_from_name(inner))
     if name in _NUMPY_BY_NAME:
         return pa.from_numpy_dtype(np.dtype(_NUMPY_BY_NAME[name]))
     raise ValueError(f"unsupported type name: {name}")

@@ -52,6 +52,22 @@ def encode_roundtrip_events(sf_dir: str) -> pd.DataFrame:
     return _roundtrip_table(sf_dir, "events", "event_id")
 
 
+def encode_roundtrip_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Widest table: 11 columns across int32/int64/double/string/timestamp."""
+    return _roundtrip_table(sf_dir, "lineitem", "l_orderkey")
+
+
+def encode_roundtrip_embeddings(sf_dir: str) -> pd.DataFrame:
+    """list<float> embedding column through the codec layer — the data
+    shape of embedding/multimodal feature workloads."""
+    out = _roundtrip_table(sf_dir, "embeddings", "vec_id")
+    # lists → deterministic string form for the driver's value hash
+    out["embedding"] = out["embedding"].map(
+        lambda v: "[" + ",".join(f"{float(x):.6f}" for x in v) + "]"
+    )
+    return out
+
+
 def query_encoded_corpus(sf_dir: str) -> pd.DataFrame:
     """skar-query-path analog over ENCODED partitions: encode the seeded
     corpus once (manifest-resumed cache), then run a projected DNF
@@ -434,6 +450,17 @@ QUERIES: dict[str, tuple] = {
     "encode_roundtrip_events": (
         encode_roundtrip_events,
         "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    ),
+    "encode_roundtrip_lineitem": (
+        encode_roundtrip_lineitem,
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+        "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
+        "FROM lineitem",
+    ),
+    "encode_roundtrip_embeddings": (
+        encode_roundtrip_embeddings,
+        "SELECT vec_id, '[' || array_to_string(list_transform(embedding, "
+        "x -> printf('%.6f', x)), ',') || ']' AS embedding, label FROM embeddings",
     ),
     "encode_corpus_flagship": (encode_corpus_flagship, None),
     "query_encoded_corpus": (query_encoded_corpus, None),

@@ -40,7 +40,9 @@ class DecoderActor:
             t = container.read_container(path, columns=self.columns, dnf=self.dnf)
             if self.verify:
                 expect = batch.column("content_sha256")[i].as_py()
-                got = partition_digest(row_sha256(t))
+                got = partition_digest(
+                    row_sha256(t) if "content" in t.column_names else []
+                )
                 if got != expect:
                     pid = batch.column("partition_id")[i].as_py()
                     raise ValueError(

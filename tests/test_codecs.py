@@ -128,3 +128,17 @@ def test_estimate_ranks_codecs_usefully():
     actual = {c: encode_column(arr, c).enc_bytes for c in est}
     best = min(actual.values())
     assert actual[name] <= best * 1.5, (name, est, actual)
+
+
+LIST_CASES = {
+    "float_lists": pa.array([[1.0, 2.0], [3.5], [], [4.0, 5.0, 6.0]], type=pa.list_(pa.float32())),
+    "null_lists": pa.array([[1.0, 2.0], None, []], type=pa.list_(pa.float32())),
+    "empty": pa.array([], type=pa.list_(pa.float64())),
+    "large_list_ints": pa.array([[1, 2, 3], [4]], type=pa.large_list(pa.int64())),
+    "all_null": pa.array([None, None], type=pa.list_(pa.int32())),
+}
+
+
+@pytest.mark.parametrize("case", list(LIST_CASES))
+def test_numeric_list_roundtrip(case):
+    _roundtrip(LIST_CASES[case], "plain")
