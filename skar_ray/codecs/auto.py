@@ -111,11 +111,14 @@ def select_codec(arr: pa.Array, sample_rows: int = _SAMPLE_ROWS, fsst_table=None
     if base.is_string_like(arr.type) and len(sample) > 16:
         import pyarrow.compute as pc
 
-        # dict/rle cannot win on near-unique values; skip their estimates
-        # (estimating them costs a dictionary build over the sample)
+        # dict/rle cannot win on near-unique values; fsst cannot beat a
+        # dictionary on near-constant ones — skip the losing estimates
+        # (each costs a dictionary build / symbol-table training)
         distinct_ratio = pc.count_distinct(sample).as_py() / len(sample)
         if distinct_ratio > 0.6:
             names = [n for n in names if n not in ("dict", "rle")]
+        elif distinct_ratio < 0.05:
+            names = [n for n in names if n != "fsst"]
     estimates: dict[str, int] = {}
     for name in names:
         try:

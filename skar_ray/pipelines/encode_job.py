@@ -140,7 +140,13 @@ def run_encode_job(
     ds = corpus_dataset(corpus_path)
 
     if mode == "sharded":
-        input_fingerprint = f"{corpus_path}:sharded"
+        # block ids depend on the read's block structure, which follows
+        # cluster size — scope resume to the same parallelism so stale
+        # manifests from another level can't shadow fresh partitions
+        import ray as _ray
+
+        _ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        input_fingerprint = f"{corpus_path}:sharded:{_ncpu}"
         done = manifest_mod.scan_manifests(out_dir) if resume else {}
         done = {p: m for p, m in done.items() if m.input_fingerprint == input_fingerprint}
         enc = ds.map_batches(

@@ -70,11 +70,16 @@ def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]
             col = col.combine_chunks()
         fsst_table = None
         if auto.base.is_string_like(col.type) and len(col):
-            from ..codecs import base as cbase
-            from ..codecs.fsst import FsstCodec
+            import pyarrow.compute as pc
 
-            _, data = cbase.strings_to_buffers(cbase.split_nulls(col)[1])
-            fsst_table = FsstCodec().make_table(data)
+            sample = auto.sample_of(col)
+            distinct_ratio = pc.count_distinct(sample).as_py() / max(1, len(sample))
+            if distinct_ratio >= 0.05:  # low-cardinality ⇒ dict wins, skip training
+                from ..codecs import base as cbase
+                from ..codecs.fsst import FsstCodec
+
+                _, data = cbase.strings_to_buffers(cbase.split_nulls(col)[1])
+                fsst_table = FsstCodec().make_table(data)
         codec = codec_overrides.get(name)
         estimates: dict = {}
         if codec is None:
