@@ -94,7 +94,17 @@ def query_encoded(
         concurrency = _pool_size()
     manifests = manifest_mod.scan_manifests(out_dir)
     pids = prune_partitions(manifests, filters)
-    filter_cols = sorted({c for conj in (filters or []) for c, _, _ in conj})
+    # §2.10 encoded-form fast path: a single equality/IN clause on one
+    # column is evaluated on the dict/rle CODE stream inside the
+    # container — the filter column itself is never materialized
+    encoded_filter = None
+    residual_filters = filters
+    if filters and len(filters) == 1 and len(filters[0]) == 1:
+        col, op, value = filters[0][0]
+        if op in ("==", "in"):
+            encoded_filter = (col, list(value) if op == "in" else [value])
+            residual_filters = None
+    filter_cols = sorted({c for conj in (residual_filters or []) for c, _, _ in conj})
     read_cols = sorted(set(columns or []) | set(filter_cols)) if columns else None
     rows = [
         {
@@ -108,13 +118,16 @@ def query_encoded(
     mds = ray.data.from_items(rows)
     ds = mds.map_batches(
         DecoderActor,
-        fn_constructor_kwargs=dict(out_dir=out_dir, columns=read_cols, verify=False, dnf=filters),
+        fn_constructor_kwargs=dict(
+            out_dir=out_dir, columns=read_cols, verify=False, dnf=filters,
+            encoded_filter=encoded_filter,
+        ),
         batch_format="pyarrow",
         batch_size=1,
         concurrency=concurrency,
     )
-    if filters:
-        ds = ds.map_batches(lambda t: _apply_dnf(t, filters), batch_format="pyarrow")
+    if residual_filters:
+        ds = ds.map_batches(lambda t: _apply_dnf(t, residual_filters), batch_format="pyarrow")
     if columns:
         ds = ds.map_batches(lambda t: t.select(columns), batch_format="pyarrow")
     if limit is not None:

@@ -25,11 +25,13 @@ from .encoder import partition_digest, row_sha256
 
 class DecoderActor:
     def __init__(self, out_dir: str, columns: list[str] | None = None, verify: bool = False,
-                 dnf=None):
+                 dnf=None, encoded_filter=None):
         self.out_dir = out_dir
         self.columns = columns
         self.verify = verify
         self.dnf = dnf  # chunk-level (row-group analog) pruning predicate
+        self.encoded_filter = encoded_filter  # (col, values) evaluated on codes
+        assert not (verify and encoded_filter), "digest verify needs full partitions"
         self._header_cache: dict[str, tuple[dict, int]] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -37,7 +39,10 @@ class DecoderActor:
         for i in range(batch.num_rows):
             data_file = batch.column("data_file")[i].as_py()
             path = os.path.join(self.out_dir, data_file)
-            t = container.read_container(path, columns=self.columns, dnf=self.dnf)
+            t = container.read_container(
+                path, columns=self.columns, dnf=self.dnf,
+                encoded_filter=self.encoded_filter,
+            )
             if self.verify:
                 expect = batch.column("content_sha256")[i].as_py()
                 got = partition_digest(

@@ -148,9 +148,47 @@ def read_header(path: str) -> tuple[dict, int]:
     return header, len(MAGIC) + 8 + hlen
 
 
+def encoded_equality_mask(blob: bytes, cm: dict, values: list) -> "np.ndarray | None":
+    """Evaluate ``col ∈ values`` directly on the ENCODED form of a
+    dict/rle column — the §2.10 'predicate filter on encoded form':
+    decode only the (small) dictionary, find the matching codes, and
+    build the row mask from the index/run stream without materializing
+    the value column.  Returns None when the codec doesn't support it.
+    """
+    import numpy as np
+
+    from ..codecs import base as cbase
+    from ..codecs.for_bitpack import bitunpack, unpack_ints_with_reference
+    from ..codecs.plain import PlainCodec
+
+    meta = cm["meta"]
+    if cm["codec"] not in ("dict", "rle") or meta.get("has_nulls"):
+        return None  # fallback: decode + compare (nulls need the bitmap)
+    payload = auto.page_decompress(blob, cm["page"], cm["payload_len"])
+    n = meta["n"]
+    plain = PlainCodec()
+    if cm["codec"] == "dict":
+        _nulls, idx_payload, val_payload = cbase.unpack_sections(payload)
+        vm = meta["values_meta"]
+        dict_vals = plain.decode(val_payload, vm, vm["n"])
+        match_codes = {i for i, v in enumerate(dict_vals.to_pylist()) if v in values}
+        indices = bitunpack(idx_payload, meta["width"], n)
+        return np.isin(indices, np.array(sorted(match_codes), dtype=np.uint64))
+    # rle: expand run codes -> mask, without touching the value payload sizes
+    _nulls, codes_payload, lens_payload, val_payload = cbase.unpack_sections(payload)
+    k = meta["n_runs"]
+    run_codes = unpack_ints_with_reference(codes_payload, meta["codes_meta"], k)
+    run_lens = unpack_ints_with_reference(lens_payload, meta["lens_meta"], k)
+    vm = meta["values_meta"]
+    dict_vals = plain.decode(val_payload, vm, vm["n"])
+    match_codes = {i for i, v in enumerate(dict_vals.to_pylist()) if v in values}
+    run_match = np.isin(run_codes, np.array(sorted(match_codes), dtype=np.int64))
+    return np.repeat(run_match, run_lens)
+
+
 def read_container(path: str, columns: list[str] | None = None,
                    chunk_indices: list[int] | None = None,
-                   dnf=None) -> pa.Table:
+                   dnf=None, encoded_filter: tuple[str, list] | None = None) -> pa.Table:
     """Decode a container back to a pyarrow Table (projected, chunk-pruned).
 
     Mirrors the reference's projected + row-group-pruned Parquet reader
@@ -180,12 +218,31 @@ def read_container(path: str, columns: list[str] | None = None,
     arrays: dict[str, list[pa.Array]] = {name: [] for name in want}
     with open(path, "rb") as f:
         for ch in chunks:
+            mask = None
+            if encoded_filter is not None:
+                fcol, fvals = encoded_filter
+                for cm in ch["columns"]:
+                    if cm["name"] == fcol:
+                        f.seek(blob_start + cm["offset"])
+                        blob = f.read(cm["length"])
+                        mask = encoded_equality_mask(blob, cm, fvals)
+                        if mask is None:  # codec not maskable: decode + compare
+                            arr = auto.decode_column(blob, cm["meta"], cm["page"], cm["payload_len"])
+                            import numpy as np
+                            import pyarrow.compute as pc
+
+                            mask = np.asarray(
+                                pc.is_in(arr, value_set=pa.array(sorted(fvals)))
+                            )
+                        break
             for cm in ch["columns"]:
                 if cm["name"] not in arrays:
                     continue
                 f.seek(blob_start + cm["offset"])
                 blob = f.read(cm["length"])
                 arr = auto.decode_column(blob, cm["meta"], cm["page"], cm["payload_len"])
+                if mask is not None:
+                    arr = arr.filter(pa.array(mask))
                 arrays[cm["name"]].append(arr)
     type_by_name = dict(header["schema"])
     out = {}

@@ -114,3 +114,44 @@ def test_chunk_pruning_correct_and_effective(encoded):
     want = full.filter(pc2.greater_equal(full["path"], probe)).column("path").to_pylist()
     got = pruned.filter(pc2.greater_equal(pruned["path"], probe)).column("path").to_pylist()
     assert sorted(got) == sorted(want)
+
+
+def test_encoded_form_filter_matches_decoded(encoded):
+    """§2.10: equality filters evaluated on the dict/rle CODE stream
+    must match post-decode filtering exactly — including the fast path
+    in query_encoded (single equality clause)."""
+    import glob
+
+    import numpy as np
+
+    from skar_ray.state import container
+
+    p = sorted(glob.glob(os.path.join(OUT, "*.skarc")))[0]
+    header, blob_start = container.read_header(p)
+    full = container.read_container(p)
+    for ch_i, ch in enumerate(header["chunks"]):
+        for cm in ch["columns"]:
+            if cm["codec"] not in ("dict", "rle") or cm["name"] == "content":
+                continue
+            with open(p, "rb") as f:
+                f.seek(blob_start + cm["offset"])
+                blob = f.read(cm["length"])
+            col = container.read_container(p, columns=[cm["name"]], chunk_indices=[ch_i]).column(cm["name"])
+            probe = col[0].as_py()
+            mask = container.encoded_equality_mask(blob, cm, [probe])
+            if mask is None:
+                continue
+            want = np.asarray(pc.equal(col.combine_chunks(), probe))
+            assert np.array_equal(mask, want), (cm["name"], cm["codec"])
+    # end-to-end single-clause fast path
+    langs = full.column("lang").to_pylist()
+    target = max(set(langs), key=langs.count)
+    got = query_encoded(OUT, columns=["repo", "path"], filters=[[("lang", "==", target)]]).count()
+    src = read_corpus_table(OUT and os.path.join(os.path.dirname(OUT), "")) if False else None
+    import pyarrow.dataset as pads
+
+    from skar_ray.corpus import corpus_cache_dir
+
+    srct = read_corpus_table(os.path.join(corpus_cache_dir(N), "corpus.parquet"))
+    want_n = srct.filter(pc.equal(srct["lang"], target)).num_rows
+    assert got == want_n
