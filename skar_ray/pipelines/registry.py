@@ -494,7 +494,15 @@ QUERIES: dict[str, tuple] = {
     "dedup_ngram": (dedup_ngram, None),
     "dedup_embedding": (dedup_embedding, None),
     # similarity search
-    "ann_bruteforce": (ann_bruteforce, None),
+    "ann_bruteforce": (
+        ann_bruteforce,
+        "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5), "
+        "sims AS (SELECT q.query_id, e.vec_id, "
+        " list_cosine_similarity(q.embedding, e.embedding) AS c FROM q CROSS JOIN embeddings e) "
+        "SELECT query_id, vec_id FROM ("
+        " SELECT query_id, vec_id, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY c DESC, vec_id) rn FROM sims) WHERE rn <= 10",
+    ),
     "ann_ivf": (ann_ivf, None),
     # multimodal plumbing (decode stubbed — no image/audio libs here)
     "multimodal_image_meta": (multimodal_image_meta, None),
