@@ -137,6 +137,14 @@ def run_encode_job(
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
 
+    # fail fast on shape mismatch (skar validates every ingest batch;
+    # our input is static so one schema check up front suffices)
+    import pyarrow.dataset as pads
+
+    from ..stages.validate import validate_schema
+
+    validate_schema(pads.dataset(corpus_path).schema)
+
     ds = corpus_dataset(corpus_path)
 
     if mode == "sharded":

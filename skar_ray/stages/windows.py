@@ -66,6 +66,78 @@ def session_windows(ds: "ray.data.Dataset", gap_minutes: int = 60) -> pd.DataFra
     return res.astype({"user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
 
 
+class StreamingWindowState:
+    """Incremental windowed aggregation held in ACTOR state — the
+    pattern for stream-shaped references whose semantics need running
+    state (one actor per key-hash bucket, fed batches in ts order).
+
+    Each actor owns the keys of its bucket and maintains per-(key, day)
+    running (count, min, max); ``snapshot()`` (triggered by a final
+    sentinel batch or an explicit call) emits the same rows a batch
+    tumbling-window computation produces — asserted in tests.
+
+    Ordering assumption (stated per the streaming-workload rule): a
+    key's batches arrive in non-decreasing event time per actor; the
+    aggregates used here are order-insensitive, so late data within the
+    job is still correct — only snapshot timing is affected.
+    """
+
+    def __init__(self, freq: str = "D"):
+        self.freq = freq
+        self.state: dict[tuple, list] = {}  # (user, day) -> [n, min, max]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        days = batch["ts"].dt.floor(self.freq)
+        for u, d, v in zip(batch["user_id"], days, batch["value"]):
+            k = (int(u), d)
+            s = self.state.get(k)
+            if s is None:
+                self.state[k] = [1, v, v]
+            else:
+                s[0] += 1
+                s[1] = min(s[1], v)
+                s[2] = max(s[2], v)
+        return self.snapshot()
+
+    def snapshot(self) -> pd.DataFrame:
+        if not self.state:
+            return pd.DataFrame({"user_id": [], "day": [], "n": [], "min_value": [], "max_value": []})
+        rows = [(u, d, s[0], s[1], s[2]) for (u, d), s in self.state.items()]
+        out = pd.DataFrame(rows, columns=["user_id", "day", "n", "min_value", "max_value"])
+        return out.astype({"user_id": "int64", "n": "int64"})
+
+
+def streaming_tumbling_counts(ds: "ray.data.Dataset", freq: str = "D",
+                              n_buckets: int = 4) -> pd.DataFrame:
+    """Drive StreamingWindowState through an actor pool: rows are
+    bucketed by user hash (so one actor owns each key), each actor
+    consumes its batches incrementally, and the LAST emitted snapshot
+    per actor is the final window table."""
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = batch["user_id"].astype("int64") % n_buckets
+        return batch
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        actor = StreamingWindowState(freq)
+        # feed in ts order in several micro-batches to exercise the
+        # incremental path (not one big batch)
+        g = g.sort_values("ts")
+        out = None
+        for i in range(0, len(g), max(1, len(g) // 4)):
+            out = actor(g.iloc[i : i + max(1, len(g) // 4)])
+        return out if out is not None else actor.snapshot()
+
+    res = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return res.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
 def asof_join_events(ds: "ray.data.Dataset", left_type: str = "purchase",
                      right_type: str = "click") -> pd.DataFrame:
     """As-of join inside the ordered log: for every `left_type` event,

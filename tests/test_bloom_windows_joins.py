@@ -137,3 +137,49 @@ def test_hll_accuracy_and_merge():
     b.add_many([f"u{i}".encode() for i in range(20000, 50000)])
     m = HyperLogLog.deserialize(a.merge(b).serialize())
     assert abs(m.estimate() - 50000) / 50000 < 0.05
+
+
+def test_streaming_window_matches_batch(ray_session):
+    import ray.data
+
+    import numpy as np
+
+    from skar_ray.stages.windows import streaming_tumbling_counts, tumbling_window_counts
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.integers(0, 10 * 86400, n), unit="s"),
+            "user_id": rng.integers(0, 20, n),
+            "value": rng.random(n) * 100,
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    batch = tumbling_window_counts(ds)
+    stream = streaming_tumbling_counts(ray.data.from_pandas(df))
+    b = batch.sort_values(["user_id", "day"]).reset_index(drop=True)
+    s = stream.sort_values(["user_id", "day"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, s[b.columns], check_dtype=False)
+
+
+def test_validate_schema():
+    import pyarrow as pa
+    import pytest as pt
+
+    from skar_ray.stages.validate import validate_schema
+
+    good = pa.schema([("repo", pa.string()), ("path", pa.string()), ("commit", pa.string()),
+                      ("lang", pa.string()), ("content", pa.large_string())])
+    validate_schema(good)
+    bad = pa.schema([("repo", pa.int64()), ("path", pa.string()), ("commit", pa.string()),
+                     ("lang", pa.string()), ("content", pa.large_string())])
+    with pt.raises(ValueError, match="repo"):
+        validate_schema(bad)
+    # generic tables: all columns must be encodable
+    generic_ok = pa.schema([("x", pa.int64()), ("e", pa.list_(pa.float32()))])
+    validate_schema(generic_ok)
+    generic_bad = pa.schema([("s", pa.struct([("a", pa.int64())]))])
+    with pt.raises(ValueError, match="unsupported"):
+        validate_schema(generic_bad)
