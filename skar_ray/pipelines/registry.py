@@ -294,7 +294,10 @@ def join_one_to_one(sf_dir: str) -> pd.DataFrame:
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]).to_pandas()
-    out = joins.broadcast_join_one_to_one(docs, emb, "doc_id", "vec_id").to_pandas()
+    # inner semantics (validate=False): at some scales not every doc has
+    # an embedding — matches the INNER JOIN oracle; the strict 1:1 mode
+    # is exercised by unit tests
+    out = joins.broadcast_join_one_to_one(docs, emb, "doc_id", "vec_id", validate=False).to_pandas()
     out["label"] = out["label"].astype("int32")
     return out.sort_values("doc_id").reset_index(drop=True)
 

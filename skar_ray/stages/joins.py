@@ -45,10 +45,12 @@ def broadcast_join_one_to_one(
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             merged = batch.merge(
-                self.small, how="left" if not self.validate else "inner",
+                self.small, how="inner",
                 left_on=self.left_key, right_on=self.right_key,
             )
             if self.validate and len(merged) != len(batch):
+                # skar's dangling-row error (schema.rs:183-197); without
+                # validate this is a plain inner semi-join probe
                 missing = set(batch[self.left_key]) - set(self.small[self.right_key])
                 raise ValueError(f"dangling left rows, e.g. {sorted(missing)[:5]}")
             if self.left_key != self.right_key:
