@@ -16,7 +16,7 @@ import pyarrow as pa
 
 from . import base
 from .dictionary import dict_encode_to_parts
-from .for_bitpack import bitpack, bitunpack, pack_ints_with_reference, unpack_ints_with_reference
+from .for_bitpack import pack_ints_with_reference, unpack_ints_with_reference
 from .plain import PlainCodec
 
 _plain = PlainCodec()

@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import os
 
-import pyarrow as pa
-
 from ..stages import partitioner
 from ..stages.encoder import encode_partition
 from ..state import manifest as manifest_mod

@@ -46,7 +46,6 @@ def _map_split(paths: list[str], plan: "partitioner.PartitionPlan",
     t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
     keyed = partitioner.assign_pkeys(t, plan)
     pkeys = keyed.column("pkey")
-    import numpy as np
     import pyarrow.compute as pc
 
     out: dict[int, ray.ObjectRef] = {}

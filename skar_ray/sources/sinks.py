@@ -45,8 +45,6 @@ def hex_encode_binary_columns(t: pa.Table) -> pa.Table:
         col = t.column(name)
         typ = col.type
         if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
-            import numpy as np
-
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             hexed = pa.array(
                 [None if v is None else "0x" + v.hex() for v in arr.to_pylist()],
