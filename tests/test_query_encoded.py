@@ -155,3 +155,29 @@ def test_encoded_form_filter_matches_decoded(encoded):
     srct = read_corpus_table(os.path.join(corpus_cache_dir(N), "corpus.parquet"))
     want_n = srct.filter(pc.equal(srct["lang"], target)).num_rows
     assert got == want_n
+
+
+def test_dnf_remaining_ops(encoded):
+    """!=, <, > ops through the generic DNF path (multi-clause, so the
+    encoded-form fast path is bypassed and _apply_dnf is exercised)."""
+    src = read_corpus_table(encoded)
+    langs = sorted(set(src.column("lang").to_pylist()))
+    lang0 = langs[0]
+    repo_mid = sorted(set(src.column("repo").to_pylist()))[1]
+    want = src.filter(
+        pc.and_(pc.not_equal(src["lang"], lang0), pc.less(src["repo"], repo_mid))
+    ).num_rows
+    got = query_encoded(
+        OUT, columns=["repo", "lang"],
+        filters=[[("lang", "!=", lang0), ("repo", "<", repo_mid)]],
+    ).count()
+    assert got == want
+    # > and <= combined via OR of two conjunctions
+    want2 = src.filter(
+        pc.or_(pc.greater(src["repo"], repo_mid), pc.less_equal(src["lang"], lang0))
+    ).num_rows
+    got2 = query_encoded(
+        OUT, columns=["repo", "lang"],
+        filters=[[("repo", ">", repo_mid)], [("lang", "<=", lang0)]],
+    ).count()
+    assert got2 == want2
