@@ -279,6 +279,61 @@ def token_frequency(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def distinct_users_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct-count per group: per-batch distinct pairs
+    (pre-aggregation) → groupby over the much smaller pair set →
+    count.  The exact complement of the HLL sketch query."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = ds.map_batches(
+        lambda t: pa.Table.from_pandas(t.to_pandas().drop_duplicates(), preserve_index=False),
+        batch_format="pyarrow",
+    )
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    uniq = pairs.groupby(["event_type", "user_id"]).map_groups(dedupe, batch_format="pandas")
+    out = uniq.groupby("event_type").aggregate(Count(alias_name="n_users")).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def join_agg_segments(sf_dir: str) -> pd.DataFrame:
+    """Composed pipeline: broadcast join (orders ⋈ customer) feeding a
+    grouped aggregate — order counts and exact-cents revenue per market
+    segment."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join_one_to_one
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    joined = broadcast_join_one_to_one(orders, cust, "o_custkey", "c_custkey", validate=False)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cents"] = np.rint(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = b.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("cents", "size"), cents=("cents", "sum")
+        )
+        return g
+
+    out = (
+        joined.map_batches(partials, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue"] = out.pop("cents").astype("int64") / 100.0
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def cursor_page(sf_dir: str) -> "ray.data.Dataset":
     """Cursor-paging analog (next_block, handler.rs:252-258): ordered page
     after a cursor position."""

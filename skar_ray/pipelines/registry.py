@@ -393,6 +393,17 @@ QUERIES: dict[str, tuple] = {
         f"SELECT event_id, ts, user_id FROM events WHERE ts >= TIMESTAMP '{Q.TS_LO}' "
         "ORDER BY ts, event_id LIMIT 100",
     ),
+    "distinct_users_exact": (
+        Q.distinct_users_exact,
+        "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+    ),
+    "join_agg_segments": (
+        Q.join_agg_segments,
+        "SELECT c.c_mktsegment, count(*) AS n_orders, "
+        "sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment",
+    ),
     "groupby_topk": (
         Q.groupby_topk,
         "SELECT c_custkey, c_mktsegment, c_acctbal FROM ("
