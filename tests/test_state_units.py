@@ -1,0 +1,94 @@
+"""Unit tests for the state layer: chunk slicing, manifest, pruning."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from skar_ray.stages.encoder import chunk_slices, lexsort, partition_digest, row_sha256
+from skar_ray.state import manifest
+from skar_ray.state.pruning import clause_possible, dnf_possible
+
+
+def _table(contents):
+    return pa.table({"content": pa.array(contents, type=pa.large_string())})
+
+
+def test_chunk_slices_cover_exactly():
+    t = _table(["x" * 100] * 50)
+    slices = chunk_slices(t, target_bytes=1000)
+    assert sum(ln for _, ln in slices) == 50
+    ends = [off + ln for off, ln in slices]
+    starts = [off for off, _ in slices]
+    assert starts[0] == 0 and ends[-1] == 50
+    assert all(e == s for e, s in zip(ends[:-1], starts[1:]))
+    # each chunk ~10 rows of 100 bytes
+    assert all(8 <= ln <= 12 for _, ln in slices[:-1])
+
+
+def test_chunk_slices_giant_row_gets_own_chunk():
+    t = _table(["a" * 10, "B" * 100000, "c" * 10])
+    slices = chunk_slices(t, target_bytes=50)
+    assert all(ln >= 1 for _, ln in slices)
+    assert sum(ln for _, ln in slices) == 3
+
+
+def test_chunk_slices_empty():
+    assert chunk_slices(_table([]), 100) == []
+
+
+def test_lexsort_orders_by_all_keys():
+    t = pa.table(
+        {
+            "repo": ["b", "a", "a"],
+            "path": ["p1", "p2", "p1"],
+            "commit": ["c", "c", "c"],
+        }
+    )
+    out = lexsort(t)
+    assert out.column("repo").to_pylist() == ["a", "a", "b"]
+    assert out.column("path").to_pylist() == ["p1", "p2", "p1"]
+
+
+def test_partition_digest_order_sensitivity():
+    t1 = _table(["alpha", "beta"])
+    t2 = _table(["beta", "alpha"])
+    assert partition_digest(row_sha256(t1)) != partition_digest(row_sha256(t2))
+    assert partition_digest(row_sha256(t1)) == partition_digest(row_sha256(t1))
+
+
+def test_manifest_roundtrip(tmp_path):
+    out = str(tmp_path)
+    m = manifest.PartitionManifest(
+        partition_id=7, status="done", n_rows=10, n_chunks=2,
+        data_file="part-000007.skarc", raw_bytes=100, enc_bytes=10,
+        content_sha256="ab" * 32, columns={"content": {"codec": "fsst"}},
+        input_fingerprint="fp", extra={"stats": {"repo": {"min": "a", "max": "b"}}},
+    )
+    manifest.write_manifest(out, m)
+    back = manifest.read_manifest(out, 7)
+    assert back == m
+    assert manifest.done_partition_ids(out) == {7}
+    assert manifest.read_manifest(out, 8) is None
+
+
+def test_clause_possible_semantics():
+    st = {"min": "m", "max": "q"}
+    assert clause_possible(st, "==", "n")
+    assert not clause_possible(st, "==", "z")
+    assert clause_possible(st, "in", ["a", "p"])
+    assert not clause_possible(st, "in", ["a", "b"])
+    assert clause_possible(st, ">=", "q") and not clause_possible(st, ">", "q")
+    assert clause_possible(st, "<=", "m") and not clause_possible(st, "<", "m")
+    assert clause_possible(st, "prefix", "n") and not clause_possible(st, "prefix", "r")
+    assert clause_possible({}, "==", "anything")  # unknown stats never prune
+    assert clause_possible({"distinct": ["a", "b"]}, "==", "a")
+    assert not clause_possible({"distinct": ["a", "b"]}, "==", "c")
+
+
+def test_dnf_possible_or_semantics():
+    stats = {"lang": {"distinct": ["go", "rust"]}}
+    get = lambda c: stats.get(c)
+    assert dnf_possible(get, [[("lang", "==", "go")]])
+    assert not dnf_possible(get, [[("lang", "==", "python")]])
+    assert dnf_possible(get, [[("lang", "==", "python")], [("lang", "==", "rust")]])
+    assert dnf_possible(get, None)
