@@ -279,6 +279,33 @@ def token_frequency(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def json_props_stats(sf_dir: str) -> pd.DataFrame:
+    """JSON payload parsing (the reference's core ingest skill —
+    JSON-RPC response parsing, rpc-client/src/types.rs:252-311): parse
+    the `props` JSON column per batch (compiled parser state in an
+    actor would hold a schema; here stdlib json is enough), extract a
+    field, aggregate order-insensitively per event_type."""
+    import json as _json
+
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        ks = b["props"].map(lambda s: int(_json.loads(s)["k"]))
+        return pd.DataFrame({"event_type": b["event_type"], "k": ks.astype("int64")})
+
+    out = (
+        ds.map_batches(extract, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Min("k", alias_name="min_k"), Max("k", alias_name="max_k"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out[["min_k", "max_k"]] = out[["min_k", "max_k"]].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def distinct_users_exact(sf_dir: str) -> pd.DataFrame:
     """Exact distinct-count per group: per-batch distinct pairs
     (pre-aggregation) → groupby over the much smaller pair set →

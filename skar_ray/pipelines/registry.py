@@ -393,6 +393,13 @@ QUERIES: dict[str, tuple] = {
         f"SELECT event_id, ts, user_id FROM events WHERE ts >= TIMESTAMP '{Q.TS_LO}' "
         "ORDER BY ts, event_id LIMIT 100",
     ),
+    "json_props_stats": (
+        Q.json_props_stats,
+        "SELECT event_type, count(*) AS n, "
+        "min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k, "
+        "max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k "
+        "FROM events GROUP BY event_type",
+    ),
     "distinct_users_exact": (
         Q.distinct_users_exact,
         "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
