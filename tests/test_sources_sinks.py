@@ -1,6 +1,7 @@
 """Sources/sinks: read_skarc, Arrow-IPC sink, hex-JSON encoding."""
 
 import os
+import shutil
 import tempfile
 
 import pyarrow as pa
@@ -52,3 +53,29 @@ def test_read_skarc_roundtrip(ray_session):
         assert len(df) > 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_write_json_hex_sink(ray_session, tmp_path):
+    import glob
+    import json as js
+
+    import ray.data
+
+    from skar_ray.sources.sinks import write_json_hex
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], type=pa.int64()),
+            "payload": pa.array([b"\x00\xff", b"\xab"], type=pa.binary()),
+        }
+    )
+    dest = str(tmp_path / "json_out")
+    write_json_hex(ray.data.from_arrow(t), dest)
+    rows = []
+    for f in glob.glob(dest + "/*.json"):
+        with open(f) as fh:
+            for line in fh:
+                if line.strip():
+                    rows.append(js.loads(line))
+    rows.sort(key=lambda r: r["id"])
+    assert rows == [{"id": 1, "payload": "0x00ff"}, {"id": 2, "payload": "0xab"}]
