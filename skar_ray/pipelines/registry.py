@@ -92,6 +92,35 @@ def query_encoded_corpus(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["repo", "path", "lang"]).reset_index(drop=True)
 
 
+def compact_corpus(sf_dir: str) -> pd.DataFrame:
+    """Compaction lifecycle (skar's accumulate→compact): encode a small
+    corpus deliberately fragmented, compact into larger partitions,
+    return the (deterministic) destination manifest summary."""
+    from ..corpus import ensure_corpus, rows_for_sf, sf_from_dir
+    from .compact_job import run_compact_job
+    from .encode_job import run_encode_job
+    from ..state import manifest as manifest_mod
+
+    n = rows_for_sf(sf_from_dir(sf_dir), cap=5000)
+    d = ensure_corpus(n)
+    src = tempfile.mkdtemp(prefix="skar_compact_src_")
+    dst = tempfile.mkdtemp(prefix="skar_compact_dst_")
+    try:
+        run_encode_job(os.path.join(d, "corpus.parquet"), src,
+                       target_partition_bytes=2 << 20, chunk_target_bytes=1 << 20,
+                       mode="hashed", resume=False)
+        r = run_compact_job(src, dst, target_partition_bytes=16 << 20, chunk_target_bytes=8 << 20)
+        assert r["rows_match"], r
+        ms = manifest_mod.scan_manifests(dst)
+        rows = sorted(
+            (m.partition_id, m.n_rows, m.content_sha256) for m in ms.values()
+        )
+        return pd.DataFrame(rows, columns=["partition_id", "n_rows", "content_sha256"])
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+
 def encode_corpus_flagship(sf_dir: str) -> pd.DataFrame:
     """Flagship: seeded code corpus → salted-partition encode (grouped
     mode, the full shuffle path) → verified decode → per-partition
@@ -485,6 +514,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "encode_corpus_flagship": (encode_corpus_flagship, None),
     "query_encoded_corpus": (query_encoded_corpus, None),
+    "compact_corpus": (compact_corpus, None),
     # text analysis
     "token_count": (
         token_count,
