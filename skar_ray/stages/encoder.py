@@ -148,17 +148,13 @@ def encode_partition(
     # min/max for every column, plus the exact distinct-value list for
     # low-cardinality string columns (repo/lang), consulted by
     # query_encoded() to skip whole partitions.
+    from ..state.pruning import minmax_stat
+
     stats: dict[str, dict] = {}
     for name in data.column_names:
         col = data.column(name)
         try:
-            mm = pc.min_max(col)
-            lo, hi = mm["min"].as_py(), mm["max"].as_py()
-            if isinstance(lo, str) and len(lo) > 64:
-                lo = lo[:64]
-            if isinstance(hi, str) and len(hi) > 64:
-                hi = hi[:64] + "￿"  # truncated max must stay an upper bound
-            entry: dict = {"min": str(lo), "max": str(hi)}
+            entry = minmax_stat(col)
         except Exception:
             entry = {}
         if pa.types.is_string(col.type if not isinstance(col, pa.ChunkedArray) else col.type):

@@ -25,24 +25,16 @@ from ..codecs import auto, base
 MAGIC = b"SKRC1\n"
 
 
-def _chunk_minmax(col) -> list | None:
-    """[min, max] as strings for string chunks — the per-row-group
-    min/max the reference stores for pruning (build_parquet_idx.rs:50-70)."""
-    import pyarrow.compute as pc
+def _chunk_minmax(col) -> dict | None:
+    """Typed per-chunk min/max stats — the per-row-group min/max the
+    reference stores for pruning (build_parquet_idx.rs:50-70).  Stored
+    as a stats dict ({"min","max","t"}) compared natively by
+    state.pruning; legacy containers hold a [lo, hi] string list."""
+    from .pruning import minmax_stat
 
     try:
-        t = col.type
-        if not (pa.types.is_string(t) or pa.types.is_large_string(t)) or len(col) == 0:
-            return None
-        mm = pc.min_max(col)
-        lo, hi = mm["min"].as_py(), mm["max"].as_py()
-        if lo is None:
-            return None
-        if len(lo) > 64:
-            lo = lo[:64]
-        if len(hi) > 64:
-            hi = hi[:64] + "￿"
-        return [lo, hi]
+        st = minmax_stat(col)
+        return st or None
     except Exception:
         return None
 
@@ -210,9 +202,16 @@ def read_container(path: str, columns: list[str] | None = None,
             mm = {
                 cm["name"]: cm.get("minmax") for cm in ch["columns"] if cm.get("minmax")
             }
-            return dnf_possible(
-                lambda c: {"min": mm[c][0], "max": mm[c][1]} if c in mm else {}, dnf
-            )
+
+            def stats_of(c):
+                st = mm.get(c)
+                if st is None:
+                    return {}
+                if isinstance(st, list):  # legacy [lo, hi] string pair
+                    return {"min": st[0], "max": st[1], "t": "s"}
+                return st
+
+            return dnf_possible(stats_of, dnf)
 
         chunks = [ch for ch in chunks if keep(ch)]
     arrays: dict[str, list[pa.Array]] = {name: [] for name in want}

@@ -6,6 +6,56 @@ data_provider.rs:250-333), conservative: unknown stats ⇒ possible."""
 from __future__ import annotations
 
 
+def minmax_stat(col) -> dict:
+    """Typed min/max stats entry for pruning: tag ``"s"`` for strings
+    (truncated, U+10FFFF upper-bound sentinel) / ``"n"`` for numerics
+    (native JSON numbers); other types get no min/max (never pruned).
+    Comparisons happen in the native type in ``clause_possible`` —
+    stringified numerics compare lexicographically and would prune
+    wrongly (e.g. min='50', max='1200' claims '== 500' impossible)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = col.type
+    if len(col) == 0:
+        return {}
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        mm = pc.min_max(col)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None:
+            return {}
+        if len(lo) > 64:
+            lo = lo[:64]
+        if len(hi) > 64:
+            hi = hi[:64] + "\U0010FFFF"  # truncated max must stay an upper bound
+        return {"min": lo, "max": hi, "t": "s"}
+    if (pa.types.is_integer(t) or pa.types.is_floating(t)) and not pa.types.is_boolean(t):
+        mm = pc.min_max(col)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None:
+            return {}
+        return {"min": lo, "max": hi, "t": "n"}
+    return {}
+
+
+def _coerce(st: dict, value):
+    """Coerce `value` into the stats' comparison domain.
+
+    Stats carry a type tag: ``"s"`` (string min/max, possibly truncated
+    with a U+10FFFF upper-bound sentinel) or ``"n"`` (native JSON
+    numbers).  Legacy stats (no tag) were stringified — only safe to
+    compare against string query values.  Returns the coerced value or
+    None when comparison would be unsound (⇒ caller must not prune).
+    """
+    t = st.get("t")
+    if t == "n":
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return None
+        return value
+    # "s" or legacy: compare strings against strings only
+    return value if isinstance(value, str) else None
+
+
 def clause_possible(st: dict, op: str, value) -> bool:
     distinct = st.get("distinct")
     lo, hi = st.get("min"), st.get("max")
@@ -19,14 +69,21 @@ def clause_possible(st: dict, op: str, value) -> bool:
             bf = SplitBlockBloom.deserialize(st["bloom"])
             return any(bf.might_contain(str(v).encode()) for v in vals)
         if lo is not None:
-            return any(lo <= str(v) <= hi for v in vals)
+            cvals = [_coerce(st, v) for v in vals]
+            if any(c is None for c in cvals):
+                return True  # mixed/unsound comparison: never prune
+            return any(lo <= c <= hi for c in cvals)
         return True
     if op == "prefix" and lo is not None:
-        v = str(value)
+        v = _coerce(st, value)
+        if not isinstance(v, str) or not isinstance(lo, str):
+            return True
         return lo[: len(v)] <= v <= hi[: len(v)]
     if lo is None:
         return True
-    v = str(value)
+    v = _coerce(st, value)
+    if v is None:
+        return True
     if op in (">=", ">"):
         return hi >= v if op == ">=" else hi > v
     if op in ("<=", "<"):

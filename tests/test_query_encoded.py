@@ -104,7 +104,7 @@ def test_chunk_pruning_correct_and_effective(encoded):
     # probe with the max path of the LAST chunk's minmax → prunes earlier chunks
     last_mm = header["chunks"][-1]["columns"]
     mm = {cm["name"]: cm.get("minmax") for cm in last_mm}
-    probe = mm["path"][0]
+    probe = mm["path"]["min"]
     dnf = [[("path", ">=", probe)]]
     full = container.read_container(p, columns=["path"])
     pruned = container.read_container(p, columns=["path"], dnf=dnf)

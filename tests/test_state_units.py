@@ -85,6 +85,42 @@ def test_clause_possible_semantics():
     assert not clause_possible({"distinct": ["a", "b"]}, "==", "c")
 
 
+def test_clause_possible_numeric_typed():
+    """Regression (ADVICE r1): stringified numeric stats pruned
+    lexicographically — min='50', max='1200' claimed '== 500'
+    impossible.  Typed stats compare natively; untyped stats never
+    prune numeric values."""
+    st = {"min": 50, "max": 1200, "t": "n"}
+    assert clause_possible(st, "==", 500)
+    assert clause_possible(st, ">=", 200)
+    assert clause_possible(st, "in", [500, 9999])
+    assert not clause_possible(st, "==", 5000)
+    assert not clause_possible(st, ">", 1200)
+    assert not clause_possible(st, "<", 50)
+    assert clause_possible(st, "==", "500")  # string vs num stats: conservative
+    # legacy stringified stats + numeric query value: never prune
+    legacy = {"min": "50", "max": "1200"}
+    assert clause_possible(legacy, "==", 500)
+    assert clause_possible(legacy, ">=", 200)
+    assert clause_possible(legacy, "in", [500])
+
+
+def test_minmax_stat_typed():
+    import pyarrow as pa
+
+    from skar_ray.state.pruning import minmax_stat
+
+    s = minmax_stat(pa.array(["aa", "zz"]))
+    assert s == {"min": "aa", "max": "zz", "t": "s"}
+    n = minmax_stat(pa.array([50, 1200]))
+    assert n == {"min": 50, "max": 1200, "t": "n"}
+    assert minmax_stat(pa.array([], type=pa.int64())) == {}
+    long = minmax_stat(pa.array(["x" * 100]))
+    assert long["max"].endswith("\U0010FFFF") and len(long["min"]) == 64
+    # truncated max stays an upper bound even for astral 65th char
+    assert "x" * 64 + "\U0001F600" <= long["max"]
+
+
 def test_dnf_possible_or_semantics():
     stats = {"lang": {"distinct": ["go", "rust"]}}
     get = lambda c: stats.get(c)
