@@ -64,32 +64,42 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     )
     raw_content_bytes = int(sum(r["nbytes"] for r in warm.take_all()))
 
-    out = tempfile.mkdtemp(prefix="skar_bench_")
+    # headline encode is best-of-N (default 2): this host is a shared,
+    # variance-prone VM (observed ±30% and worse run-to-run) — a single
+    # sample is not reproducible; min-of-2 fresh encodes is
     queries: dict[str, float] = {}
-    try:
-        t0 = time.time()
-        # fixed 32 MiB target so the partition plan (and therefore total
-        # work) is IDENTICAL across parallelism levels — required for an
-        # honest scaling comparison; "hashed" = sort-free hash exchange
-        summary = run_encode_job(
-            corpus, out, target_partition_bytes=32 << 20,
-            chunk_target_bytes=16 << 20, resume=False, mode="hashed",
-        )
-        encode_s = time.time() - t0
-        queries["encode"] = round(encode_s, 3)
+    encode_repeats = int(os.environ.get("SKAR_BENCH_ENCODE_REPEATS", "2"))
+    encode_s = None
+    encode_runs = []
+    for rep in range(max(1, encode_repeats)):
+        out = tempfile.mkdtemp(prefix="skar_bench_")
+        try:
+            t0 = time.time()
+            # fixed 32 MiB target so the partition plan (and therefore total
+            # work) is IDENTICAL across parallelism levels — required for an
+            # honest scaling comparison; "hashed" = sort-free hash exchange
+            summary = run_encode_job(
+                corpus, out, target_partition_bytes=32 << 20,
+                chunk_target_bytes=16 << 20, resume=False, mode="hashed",
+            )
+            this_s = time.time() - t0
+            encode_runs.append(round(this_s, 3))
+            if encode_s is None or this_s < encode_s:
+                encode_s = this_s
+            if rep == 0:  # byte accounting + verified decode once
+                import pyarrow.compute as pc2
 
-        import pyarrow.compute as pc2
+                enc_bytes = int(pc2.sum(summary.column("enc_bytes")).as_py())
+                raw_bytes = int(pc2.sum(summary.column("raw_bytes")).as_py())
+                ref_bytes = os.path.getsize(os.path.join(corpus_dir, "reference_zstd.parquet"))
 
-        enc_bytes = int(pc2.sum(summary.column("enc_bytes")).as_py())
-        raw_bytes = int(pc2.sum(summary.column("raw_bytes")).as_py())
-        ref_bytes = os.path.getsize(os.path.join(corpus_dir, "reference_zstd.parquet"))
-
-        t0 = time.time()
-        v = run_verify_job(corpus, out)
-        queries["decode_verify"] = round(time.time() - t0, 3)
-        assert v["rows_match"] and v["digests_verified"]
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+                t0 = time.time()
+                v = run_verify_job(corpus, out)
+                queries["decode_verify"] = round(time.time() - t0, 3)
+                assert v["rows_match"] and v["digests_verified"]
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    queries["encode"] = round(encode_s, 3)
 
     fast_s = fast_bytes = None
     if not os.environ.get("SKAR_BENCH_MINIMAL"):
@@ -130,6 +140,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "queries": queries,
         "sf": sf,
         "num_cpus": num_cpus,
+        "encode_runs": encode_runs,
         "corpus_rows": n_rows,
         "raw_content_bytes": raw_content_bytes,
         "raw_arrow_bytes": raw_bytes,
@@ -167,7 +178,10 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16, repeats: int = 2) -> dic
     for ncpu in (lo, hi):
         best = None
         for _ in range(repeats):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), SKAR_BENCH_MINIMAL="1")
+            env = dict(
+                os.environ, RAY_GRAFT_CPUS=str(ncpu), SKAR_BENCH_MINIMAL="1",
+                SKAR_BENCH_ENCODE_REPEATS="1",  # outer loop already best-of-N
+            )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,

@@ -89,18 +89,96 @@ def train_symbols(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
     return out
 
 
+def refine_symbols(
+    symbols: list[bytes], sample: bytes, max_loss_frac: float = 0.002
+) -> tuple[list[bytes], list[bytes]]:
+    """Second training generation ("iterative re-counting"): simulate
+    the encode chain on the sample to measure each symbol's REALIZED
+    savings — greedy n-gram counting overcounts overlapping candidates
+    (" the" / "the " / "he t" all claim the same bytes), so many of the
+    127 selected symbols realize almost nothing yet still cost one
+    C-scan ``bytes.replace`` pass per 64 KiB piece at encode time.
+
+    Returns ``(kept_symbols, chain_order)``:
+    - drops the lowest-gain tail whose TOTAL realized savings is under
+      ``max_loss_frac`` of the sample (bounded size impact; dropped
+      matches are partially recaptured by surviving shorter symbols);
+    - orders the remaining chain by realized gain (descending) subject
+      to superstring-before-substring, so the highest-gain passes
+      shrink the buffer before low-gain passes scan it.
+    """
+    if not symbols or len(sample) < 4:
+        return symbols, [s for s in symbols if len(s) > 1]
+    t = SymbolTable(symbols)
+    arr = np.frombuffer(sample, dtype=np.uint8)
+    gains: dict[bytes, int] = {}
+    for s in symbols:
+        if len(s) == 1 and s[0] >= 0x80:
+            gains[s] = int(np.count_nonzero(arr == s[0]))  # escape byte saved
+    if arr.max() >= 0x80:
+        mapped = t._hi_lut[arr]
+        esc_pos = np.flatnonzero(t._needs_escape[arr])
+        if esc_pos.size:
+            mapped = np.insert(mapped, esc_pos, ESCAPE)
+        data = mapped.tobytes()
+    else:
+        data = sample
+    for sym, code in t._multi:  # longest-first simulation, counting matches
+        c = data.count(sym)
+        gains[sym] = c * (len(sym) - 1)
+        data = data.replace(sym, code)
+    # drop the tail: cheapest symbols first until the loss budget is spent
+    budget = int(len(sample) * max_loss_frac)
+    dropped: set[bytes] = set()
+    acc = 0
+    for s in sorted(symbols, key=lambda s: gains.get(s, 0)):
+        g = gains.get(s, 0)
+        if acc + g > budget:
+            break
+        acc += g
+        dropped.add(s)
+    kept = [s for s in symbols if s not in dropped]
+    # gain-desc chain order with the superstring-before-substring
+    # constraint (if B ⊂ A and B ran first, A would never match)
+    multi = [s for s in kept if len(s) > 1]
+    remaining = sorted(multi, key=lambda s: -gains.get(s, 0))
+    chain: list[bytes] = []
+    placed: set[bytes] = set()
+    while remaining:
+        progressed = False
+        deferred = []
+        for s in remaining:
+            blockers = [o for o in remaining if o is not s and len(o) > len(s) and s in o]
+            if any(o not in placed for o in blockers):
+                deferred.append(s)
+                continue
+            chain.append(s)
+            placed.add(s)
+            progressed = True
+        remaining = deferred
+        if not progressed:  # cycle impossible (strict length order), but stay safe
+            chain.extend(remaining)
+            break
+    return kept, chain
+
+
 class SymbolTable:
-    def __init__(self, symbols: list[bytes]):
+    def __init__(self, symbols: list[bytes], chain: list[bytes] | None = None):
         self.symbols = symbols
         self.code_of = {s: FIRST_CODE + i for i, s in enumerate(symbols)}
         # encoder fast path: multi-byte ASCII symbols applied as a
-        # bytes.replace chain (longest first — a replace can never match
-        # across an inserted code byte since codes are >= 0x80 and
-        # symbols are pure ASCII); high single bytes mapped via LUT.
-        self._multi = sorted(
-            ((s, bytes((FIRST_CODE + i,))) for i, s in enumerate(symbols) if len(s) > 1),
-            key=lambda t: -len(t[0]),
-        )
+        # bytes.replace chain (a replace can never match across an
+        # inserted code byte since codes are >= 0x80 and symbols are
+        # pure ASCII — so ANY chain order is bit-exact; order only
+        # affects ratio/speed); high single bytes mapped via LUT.
+        # Default order longest-first (a symbol's superstrings must run
+        # before it or they never match); ``chain`` overrides with a
+        # trained order (realized-gain-first, substring-constrained —
+        # high-gain passes shrink the buffer before low-gain passes
+        # scan it, see refine_symbols).
+        if chain is None:
+            chain = sorted((s for s in symbols if len(s) > 1), key=len, reverse=True)
+        self._multi = [(s, bytes((self.code_of[s],))) for s in chain if len(s) > 1]
         self._hi_lut = np.arange(256, dtype=np.uint8)
         self._needs_escape = np.zeros(256, dtype=bool)
         self._needs_escape[0x80:] = True
@@ -223,7 +301,9 @@ class FsstCodec:
             sample = b"".join(data[i * stride : i * stride + piece] for i in range(k))
         else:
             sample = data
-        return SymbolTable(train_symbols(sample))
+        syms = train_symbols(sample)
+        kept, chain = refine_symbols(syms, sample)
+        return SymbolTable(kept, chain=chain)
 
     def encode(self, arr: pa.Array, table: SymbolTable | None = None) -> tuple[bytes, dict]:
         nulls, filled = base.split_nulls(arr)

@@ -33,9 +33,9 @@ def manifests_dataset(out_dir: str) -> "ray.data.Dataset":
 
 
 def _pool_size() -> tuple[int, int]:
-    import ray
+    from ..runtime import pool_size
 
-    return (1, max(8, int(ray.cluster_resources().get("CPU", 8))))
+    return pool_size()
 
 
 def decoded_dataset(

@@ -22,6 +22,7 @@ import ray.data
 
 from ..stages import ann, dedup, joins, multimodal, text, windows
 from . import queries as Q
+from ..runtime import pool_size
 
 # --------------------------------------------------------------- engine ops
 
@@ -155,27 +156,27 @@ def _docs(sf_dir: str) -> "ray.data.Dataset":
 
 
 def token_count(sf_dir: str) -> pd.DataFrame:
-    out = _docs(sf_dir).map_batches(text.TokenCounter, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = _docs(sf_dir).map_batches(text.TokenCounter, batch_format="pandas", concurrency=pool_size()).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def quality_score(sf_dir: str) -> pd.DataFrame:
-    out = _docs(sf_dir).map_batches(text.QualityScorer, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = _docs(sf_dir).map_batches(text.QualityScorer, batch_format="pandas", concurrency=pool_size()).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def fingerprint_md5(sf_dir: str) -> pd.DataFrame:
-    out = _docs(sf_dir).map_batches(text.Fingerprinter, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = _docs(sf_dir).map_batches(text.Fingerprinter, batch_format="pandas", concurrency=pool_size()).to_pandas()
     return out[["doc_id", "md5"]].sort_values("doc_id").reset_index(drop=True)
 
 
 def fingerprint_rolling(sf_dir: str) -> pd.DataFrame:
-    out = _docs(sf_dir).map_batches(text.Fingerprinter, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = _docs(sf_dir).map_batches(text.Fingerprinter, batch_format="pandas", concurrency=pool_size()).to_pandas()
     return out[["doc_id", "rolling_fp"]].sort_values("doc_id").reset_index(drop=True)
 
 
 def lang_id(sf_dir: str) -> pd.DataFrame:
-    out = _docs(sf_dir).map_batches(text.LangId, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = _docs(sf_dir).map_batches(text.LangId, batch_format="pandas", concurrency=pool_size()).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -239,7 +240,7 @@ def ann_ivf(sf_dir: str) -> pa.Table:
 def multimodal_image_meta(sf_dir: str) -> pd.DataFrame:
     ds = multimodal.media_dataset_from_documents(sf_dir)
     out = ds.map_batches(
-        multimodal.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        multimodal.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=pool_size()
     ).to_pandas()
     return out.sort_values("media_id").reset_index(drop=True)
 
@@ -247,7 +248,7 @@ def multimodal_image_meta(sf_dir: str) -> pd.DataFrame:
 def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     ds = multimodal.media_dataset_from_documents(sf_dir)
     out = ds.map_batches(
-        multimodal.FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        multimodal.FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=pool_size()
     ).to_pandas()
     out = out.drop(columns=["frame_bytes"])  # offsets prove the plumbing; keep result hashable
     return out.sort_values(["media_id", "frame"]).reset_index(drop=True)
@@ -256,7 +257,7 @@ def multimodal_frames(sf_dir: str) -> pd.DataFrame:
 def multimodal_audio(sf_dir: str) -> pd.DataFrame:
     ds = multimodal.media_dataset_from_documents(sf_dir)
     out = ds.map_batches(
-        multimodal.AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        multimodal.AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=pool_size()
     ).to_pandas()
     return out.sort_values("media_id").reset_index(drop=True)
 

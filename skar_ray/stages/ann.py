@@ -20,6 +20,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
+from ..runtime import pool_size
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -52,7 +53,7 @@ def brute_force_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10) -
 
     partials = ds.map_batches(
         Scorer, fn_constructor_args=(q_ref, k), batch_format="pandas",
-        batch_size=4096, concurrency=(1, 4),
+        batch_size=4096, concurrency=pool_size(),
     ).to_pandas()
     out = (
         partials.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
@@ -111,7 +112,7 @@ def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
 
     partials = ds.map_batches(
         Scorer, fn_constructor_args=(state, k), batch_format="pandas",
-        batch_size=4096, concurrency=(1, 4),
+        batch_size=4096, concurrency=pool_size(),
     ).to_pandas()
     out = (
         partials.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])

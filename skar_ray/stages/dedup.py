@@ -24,6 +24,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
+from ..runtime import pool_size
 
 _MERSENNE = (1 << 61) - 1
 
@@ -117,7 +118,7 @@ def minhash_lsh_pairs(
     shingle→minhash→band→bucket-groupby→candidates→exact-verify.
     """
     sigs = ds.map_batches(MinHasher, fn_constructor_kwargs=dict(num_perm=num_perm, k=k),
-                          batch_format="pandas", concurrency=(1, 4))
+                          batch_format="pandas", concurrency=pool_size())
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -200,7 +201,7 @@ class SimHasher:
 def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> pa.Table:
     """Pairs within hamming<=max_hamming via 4×16-bit band blocking
     (any pair ≤3 bits apart shares ≥1 exact 16-bit band — pigeonhole)."""
-    sigs = ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 4))
+    sigs = ds.map_batches(SimHasher, batch_format="pandas", concurrency=pool_size())
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         h = batch["simhash"].to_numpy().astype(np.uint64)
@@ -356,7 +357,7 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
             return pd.concat(frames, ignore_index=True)
 
     buckets = ds.map_batches(Bucketer, fn_constructor_args=(planes_ref,),
-                             batch_format="pandas", concurrency=(1, 4))
+                             batch_format="pandas", concurrency=pool_size())
 
     def within(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].to_numpy()

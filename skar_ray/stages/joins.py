@@ -19,6 +19,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
+from ..runtime import pool_size
 
 
 def broadcast_join_one_to_one(
@@ -59,7 +60,7 @@ def broadcast_join_one_to_one(
 
     return large.map_batches(
         Probe, fn_constructor_args=(ref, left_key, right_key, validate),
-        batch_format="pandas", concurrency=(1, 4),
+        batch_format="pandas", concurrency=pool_size(),
     )
 
 

@@ -142,3 +142,29 @@ LIST_CASES = {
 @pytest.mark.parametrize("case", list(LIST_CASES))
 def test_numeric_list_roundtrip(case):
     _roundtrip(LIST_CASES[case], "plain")
+
+
+def test_fsst_refine_symbols_bitexact_and_fewer_passes():
+    """Second-generation training: refined tables drop zero-realized-gain
+    symbols and reorder the chain by gain — must stay bit-exact and must
+    not exceed the loss budget by much."""
+    from skar_ray.codecs.fsst import FsstCodec, SymbolTable, refine_symbols, train_symbols
+
+    rng = __import__("numpy").random.default_rng(7)
+    words = [b"the", b"quick", b"brown", b"fox", b"jumps", b"over", b"lazy", b"dog",
+             b"import", b"def ", b"return", b"self.", b"\xc3\xa9"]
+    buf = b" ".join(bytes(words[i]) for i in rng.integers(0, len(words), 200_000))
+    sample = buf[: 1 << 17]
+    syms = train_symbols(sample)
+    kept, chain = refine_symbols(syms, sample)
+    assert 0 < len(kept) <= len(syms)
+    assert set(chain) <= set(kept)
+    t_old, t_new = SymbolTable(syms), SymbolTable(kept, chain=chain)
+    enc_old, enc_new = t_old.encode_buffer(buf), t_new.encode_buffer(buf)
+    assert t_new.decode_buffer(enc_new) == buf
+    assert len(enc_new) <= len(enc_old) * 1.03
+    # substring constraint: a symbol's superstring must appear before it
+    for i, s in enumerate(chain):
+        for j, o in enumerate(chain):
+            if o is not s and s in o:
+                assert j < i or len(o) <= len(s)
