@@ -76,8 +76,6 @@ def bucket_hash_join(
     within each.  Column names (other than the key) must be disjoint.
     Skewed hot keys should be pre-salted into sub-buckets by the caller
     (same technique as the encode partitioner)."""
-    import zlib
-
     l_names = [n for n in left.schema().names if n != key]
     r_names = [n for n in right.schema().names if n != key]
     if set(l_names) & set(r_names):
@@ -100,8 +98,15 @@ def bucket_hash_join(
 
     def add_bucket(side: str, own: list[str]):
         def f(batch: pa.Table) -> pa.Table:
-            keys = batch.column(key).to_pylist()
-            b = [zlib.crc32(str(k).encode()) % n_buckets for k in keys]
+            # vectorised bucket id over the Arrow buffers (works for
+            # string AND integer keys) — both large sides pass through
+            # here, a per-row Python hash loop would dominate the join
+            import numpy as np
+            import polars as pl
+
+            kc = batch.column(key)
+            h = pl.from_arrow(kc.combine_chunks() if isinstance(kc, pa.ChunkedArray) else kc).hash(seed=7)
+            b = (h.to_numpy().astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
             cols = {}
             for name, typ in all_fields:
                 if name == key or name in own:
