@@ -137,7 +137,14 @@ def strings_from_buffers(lengths: np.ndarray, data: bytes, out_type: pa.DataType
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     if out_type in (pa.string(), pa.binary()):
-        obuf = pa.py_buffer(offsets.astype(np.int32).tobytes())
+        if offsets[-1] > np.iinfo(np.int32).max:
+            # a silent int32 narrow would corrupt every offset past 2 GiB;
+            # chunk capping makes this rare but a heavy-tail partition can
+            # breach it — promote to the 64-bit offset type instead
+            out_type = pa.large_string() if out_type == pa.string() else pa.large_binary()
+            obuf = pa.py_buffer(offsets.tobytes())
+        else:
+            obuf = pa.py_buffer(offsets.astype(np.int32).tobytes())
     else:
         obuf = pa.py_buffer(offsets.tobytes())
     return pa.Array.from_buffers(out_type, len(lengths), [None, obuf, pa.py_buffer(data)])

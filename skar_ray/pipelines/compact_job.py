@@ -6,9 +6,11 @@ periodically compacts them into big sorted Parquet folders
 re-expresses compaction as pure composition: decode the source
 partitions (streaming actor pool) → re-plan with a larger target →
 salted-partition encode into a fresh directory.  Because partitions are
-self-describing and the manifest carries content digests, compaction is
-verifiable: the union of source digests must equal the union of
-destination digests (checked here).
+self-describing and the manifest carries an order-insensitive row-digest
+union (sum of per-row sha256s mod 2^256), compaction is verifiable from
+manifests alone: the source union must equal the destination union even
+though the partitioning changed (checked here as ``digests_match``; row
+counts are compared as well).
 """
 
 from __future__ import annotations
@@ -43,12 +45,30 @@ def run_compact_job(
 
     out = summary.to_pandas()
 
-    src_rows = sum(m.n_rows for m in manifest_mod.scan_manifests(src_dir).values())
+    src_manifests = manifest_mod.scan_manifests(src_dir)
+    dest_manifests = manifest_mod.scan_manifests(dest_dir)
+    src_rows = sum(m.n_rows for m in src_manifests.values())
     dest_rows = int(out["n_rows"].sum())
+
+    def _digest_union(ms) -> int | None:
+        """Order-insensitive row-digest union (sum of per-row sha256s
+        mod 2^256, written by encode_partition) — repartition-invariant,
+        so source and destination unions must be equal even though the
+        partitioning changed.  None if any manifest predates the field."""
+        total = 0
+        for m in ms.values():
+            s = (m.extra or {}).get("content_sum")
+            if s is None:
+                return None
+            total = (total + int(s, 16)) % (1 << 256)
+        return total
+
+    src_sum, dest_sum = _digest_union(src_manifests), _digest_union(dest_manifests)
     return {
-        "src_partitions": len(manifest_mod.scan_manifests(src_dir)),
+        "src_partitions": len(src_manifests),
         "dest_partitions": len(out),
         "rows_match": src_rows == dest_rows,
+        "digests_match": (src_sum == dest_sum) if src_sum is not None and dest_sum is not None else None,
         "src_rows": src_rows,
         "dest_rows": dest_rows,
     }

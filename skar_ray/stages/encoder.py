@@ -118,6 +118,10 @@ def encode_partition(
     t1 = time.time()
     digests = row_sha256(data) if "content" in data.column_names else []
     pdigest = partition_digest(digests)
+    # order-insensitive row-digest union (sum mod 2^256 — XOR would let
+    # even-multiplicity duplicate rows cancel): repartition-invariant, so
+    # compaction can verify content equality from manifests alone
+    content_sum = sum(int.from_bytes(d, "big") for d in digests) % (1 << 256)
     timings["sha256"] = time.time() - t1
 
     t1 = time.time()
@@ -184,7 +188,8 @@ def encode_partition(
         columns=col_stats,
         input_fingerprint=input_fingerprint,
         wall_s=round(time.time() - t0, 4),
-        extra={"stats": stats, "timings": {k: round(v, 3) for k, v in timings.items()}},
+        extra={"stats": stats, "content_sum": f"{content_sum:064x}",
+               "timings": {k: round(v, 3) for k, v in timings.items()}},
     )
     manifest.write_manifest(out_dir, m)
     return pa.table(
@@ -223,10 +228,28 @@ class ShardEncoder:
         self.codec_overrides = codec_overrides
 
     def _block_pid(self, batch: pa.Table) -> int:
+        """Content-derived partition id for resume.  Hashes the full key
+        columns (repo/path/commit — small next to content) plus row count
+        and total content bytes; first-row-only fingerprints collide for
+        blocks sharing a leading row, silently skipping data on resume."""
         h = hashlib.sha256()
-        first = batch.slice(0, 1)
-        h.update(str(first.to_pydict()).encode())
         h.update(str(batch.num_rows).encode())
+        hashed_any = False
+        for name in ("repo", "path", "commit"):
+            if name in batch.column_names:
+                from ..codecs.base import strings_to_buffers
+
+                col = batch.column(name)
+                lengths, data = strings_to_buffers(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+                h.update(lengths.tobytes())
+                h.update(data)
+                hashed_any = True
+        if "content" in batch.column_names:
+            h.update(str(int(pc.sum(pc.binary_length(batch.column("content"))).as_py() or 0)).encode())
+            hashed_any = True
+        if not hashed_any:  # schema without key/content columns: hash first+last rows
+            h.update(str(batch.slice(0, 1).to_pydict()).encode())
+            h.update(str(batch.slice(max(0, batch.num_rows - 1), 1).to_pydict()).encode())
         return int.from_bytes(h.digest()[:6], "big")
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -28,6 +28,8 @@ def test_compact_merges_partitions(ray_session):
     assert n_src >= 5
     r = run_compact_job(SRC, DST, target_partition_bytes=8 << 20, chunk_target_bytes=4 << 20)
     assert r["rows_match"], r
+    # repartition-invariant row-digest union must survive the re-partitioning
+    assert r["digests_match"] is True, r
     assert r["dest_partitions"] < n_src
     # compacted output still decodes bit-identically vs the ORIGINAL corpus
     v = run_verify_job(corpus, DST)
