@@ -18,6 +18,7 @@ outer list OR, inner list AND; ops: ``== != in >= > <= < prefix``.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import pyarrow as pa
@@ -48,30 +49,33 @@ def prune_partitions(manifests: dict[int, manifest_mod.PartitionManifest], dnf: 
     return keep
 
 
+def _clause_compute(a, op: str, value):
+    """One DNF clause as a pyarrow.compute boolean mask."""
+    if op == "==":
+        return pc.equal(a, value)
+    if op == "!=":
+        return pc.not_equal(a, value)
+    if op == "in":
+        return pc.is_in(a, value_set=pa.array(sorted(value)))
+    if op == ">=":
+        return pc.greater_equal(a, value)
+    if op == ">":
+        return pc.greater(a, value)
+    if op == "<=":
+        return pc.less_equal(a, value)
+    if op == "<":
+        return pc.less(a, value)
+    if op == "prefix":
+        return pc.starts_with(a, pattern=value)
+    raise ValueError(f"unknown op {op}")
+
+
 def _apply_dnf(t: pa.Table, dnf: DNF) -> pa.Table:
     masks = []
     for conj in dnf:
         m = None
         for col, op, value in conj:
-            a = t.column(col)
-            if op == "==":
-                cm = pc.equal(a, value)
-            elif op == "!=":
-                cm = pc.not_equal(a, value)
-            elif op == "in":
-                cm = pc.is_in(a, value_set=pa.array(sorted(value)))
-            elif op == ">=":
-                cm = pc.greater_equal(a, value)
-            elif op == ">":
-                cm = pc.greater(a, value)
-            elif op == "<=":
-                cm = pc.less_equal(a, value)
-            elif op == "<":
-                cm = pc.less(a, value)
-            elif op == "prefix":
-                cm = pc.starts_with(a, pattern=value)
-            else:
-                raise ValueError(f"unknown op {op}")
+            cm = _clause_compute(t.column(col), op, value)
             m = cm if m is None else pc.and_kleene(m, cm)
         masks.append(m)
     mask = masks[0]
@@ -94,18 +98,19 @@ def query_encoded(
         concurrency = _pool_size()
     manifests = manifest_mod.scan_manifests(out_dir)
     pids = prune_partitions(manifests, filters)
-    # §2.10 encoded-form fast path: a single equality/IN clause on one
-    # column is evaluated on the dict/rle CODE stream inside the
-    # container — the filter column itself is never materialized
-    encoded_filter = None
-    residual_filters = filters
-    if filters and len(filters) == 1 and len(filters[0]) == 1:
-        col, op, value = filters[0][0]
-        if op in ("==", "in"):
-            encoded_filter = (col, list(value) if op == "in" else [value])
-            residual_filters = None
-    filter_cols = sorted({c for conj in (residual_filters or []) for c, _, _ in conj})
-    read_cols = sorted(set(columns or []) | set(filter_cols)) if columns else None
+    if not pids and manifests:
+        # everything pruned: return a TYPED empty result (schema from any
+        # container header) so downstream column operations still work
+        from ..codecs import base as cbase
+        from ..state import container as container_mod
+
+        any_m = next(iter(manifests.values()))
+        header, _ = container_mod.read_header(os.path.join(out_dir, any_m.data_file))
+        schema = [(n, cbase.type_from_name(t)) for n, t in header["schema"]]
+        want = columns or [n for n, _ in schema]
+        types = dict(schema)
+        empty = pa.table({n: pa.chunked_array([], type=types[n]) for n in want})
+        return ray.data.from_arrow(empty)
     rows = [
         {
             "partition_id": pid,
@@ -116,20 +121,22 @@ def query_encoded(
         for pid in pids
     ]
     mds = ray.data.from_items(rows)
+    # §2.10 encoded-form evaluation: the FULL DNF is evaluated inside
+    # the container reader — per-chunk stats (min/max/distinct/SBBF)
+    # prune chunks, then each clause runs on the dict/rle CODE stream or
+    # FoR int stream where the codec supports it (decode+compare
+    # otherwise), so filter columns are materialized only as needed and
+    # all-false chunks never decode the projection
     ds = mds.map_batches(
         DecoderActor,
         fn_constructor_kwargs=dict(
-            out_dir=out_dir, columns=read_cols, verify=False, dnf=filters,
-            encoded_filter=encoded_filter,
+            out_dir=out_dir, columns=columns, verify=False, dnf=filters,
+            apply_dnf=bool(filters),
         ),
         batch_format="pyarrow",
         batch_size=1,
         concurrency=concurrency,
     )
-    if residual_filters:
-        ds = ds.map_batches(lambda t: _apply_dnf(t, residual_filters), batch_format="pyarrow")
-    if columns:
-        ds = ds.map_batches(lambda t: t.select(columns), batch_format="pyarrow")
     if limit is not None:
         ds = ds.limit(limit)
     return ds

@@ -93,6 +93,33 @@ def query_encoded_corpus(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["repo", "path", "lang"]).reset_index(drop=True)
 
 
+def query_encoded_documents(sf_dir: str) -> pd.DataFrame:
+    """SQL-verified query over the ENCODED store: encode the documents
+    table, then evaluate a mixed string+numeric DNF directly on the
+    encoded form (dict/rle code streams, FoR int streams, per-chunk
+    stats pruning) — the full skar query path
+    (/root/reference/skar/src/query/execution/mod.rs:120-261) with a
+    DuckDB oracle over the raw table."""
+    from .encode_job import run_encode_job
+    from .query_encoded import query_encoded
+
+    out = tempfile.mkdtemp(prefix="skar_qenc_docs_")
+    try:
+        run_encode_job(
+            f"{sf_dir}/documents.parquet", out, mode="sharded",
+            chunk_target_bytes=256 << 10, resume=False,
+        )
+        res = query_encoded(
+            out,
+            columns=["doc_id", "lang", "source", "n_chars"],
+            filters=[[("lang", "==", "en"), ("n_chars", ">=", 400)],
+                     [("source", "==", "src7"), ("n_chars", "<", 150)]],
+        ).to_pandas()
+        return res.sort_values("doc_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def compact_corpus(sf_dir: str) -> pd.DataFrame:
     """Compaction lifecycle (skar's accumulate→compact): encode a small
     corpus deliberately fragmented, compact into larger partitions,
@@ -515,6 +542,11 @@ QUERIES: dict[str, tuple] = {
     ),
     "encode_corpus_flagship": (encode_corpus_flagship, None),
     "query_encoded_corpus": (query_encoded_corpus, None),
+    "query_encoded_documents": (
+        query_encoded_documents,
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "WHERE (lang = 'en' AND n_chars >= 400) OR (source = 'src7' AND n_chars < 150)",
+    ),
     "compact_corpus": (compact_corpus, None),
     # text analysis
     "token_count": (

@@ -25,13 +25,14 @@ from .encoder import partition_digest, row_sha256
 
 class DecoderActor:
     def __init__(self, out_dir: str, columns: list[str] | None = None, verify: bool = False,
-                 dnf=None, encoded_filter=None):
+                 dnf=None, encoded_filter=None, apply_dnf: bool = False):
         self.out_dir = out_dir
         self.columns = columns
         self.verify = verify
         self.dnf = dnf  # chunk-level (row-group analog) pruning predicate
         self.encoded_filter = encoded_filter  # (col, values) evaluated on codes
-        assert not (verify and encoded_filter), "digest verify needs full partitions"
+        self.apply_dnf = apply_dnf  # exact full-DNF row mask on the encoded form
+        assert not (verify and (encoded_filter or apply_dnf)), "digest verify needs full partitions"
         self._header_cache: dict[str, tuple[dict, int]] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -41,7 +42,7 @@ class DecoderActor:
             path = os.path.join(self.out_dir, data_file)
             t = container.read_container(
                 path, columns=self.columns, dnf=self.dnf,
-                encoded_filter=self.encoded_filter,
+                encoded_filter=self.encoded_filter, apply_dnf=self.apply_dnf,
             )
             if self.verify:
                 expect = batch.column("content_sha256")[i].as_py()

@@ -25,16 +25,34 @@ from ..codecs import auto, base
 MAGIC = b"SKRC1\n"
 
 
-def _chunk_minmax(col) -> dict | None:
-    """Typed per-chunk min/max stats — the per-row-group min/max the
-    reference stores for pruning (build_parquet_idx.rs:50-70).  Stored
-    as a stats dict ({"min","max","t"}) compared natively by
-    state.pruning; legacy containers hold a [lo, hi] string list."""
+def _chunk_stats(name: str, col) -> dict | None:
+    """Typed per-chunk pruning stats — the reference's per-row-group
+    min/max + distinct sets + blooms (build_parquet_idx.rs:50-115).
+    {"min","max","t"} always (typed, compared natively by
+    state.pruning); for non-content string columns also an exact
+    distinct list (≤64 values) or an SBBF sketch (≤50k distinct) so
+    point lookups on high-cardinality columns (path, commit) skip
+    chunk decodes.  Legacy containers hold a [lo, hi] string list."""
     from .pruning import minmax_stat
 
     try:
         st = minmax_stat(col)
-        return st or None
+        if not st:
+            return None
+        t = col.type
+        if name != "content" and (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            import pyarrow.compute as pc
+
+            distinct = pc.unique(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+            if len(distinct) <= 64:
+                st["distinct"] = sorted(v for v in distinct.to_pylist() if v is not None)
+            elif len(distinct) <= 50_000:
+                from .bloom import SplitBlockBloom
+
+                st["bloom"] = SplitBlockBloom.build(
+                    [v.encode() for v in distinct.to_pylist() if v is not None]
+                ).serialize()
+        return st
     except Exception:
         return None
 
@@ -93,7 +111,7 @@ def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]
             enc = auto.encode_column(col, codec, fsst_table=fsst_table)
             if first_chunk:
                 enc.estimates = estimates
-            minmax = _chunk_minmax(col)
+            minmax = _chunk_stats(name, col)
             cols_meta.append(
                 {
                     "name": name,
@@ -140,13 +158,46 @@ def read_header(path: str) -> tuple[dict, int]:
     return header, len(MAGIC) + 8 + hlen
 
 
-def encoded_equality_mask(blob: bytes, cm: dict, values: list) -> "np.ndarray | None":
-    """Evaluate ``col ∈ values`` directly on the ENCODED form of a
-    dict/rle column — the §2.10 'predicate filter on encoded form':
-    decode only the (small) dictionary, find the matching codes, and
-    build the row mask from the index/run stream without materializing
-    the value column.  Returns None when the codec doesn't support it.
-    """
+def _dict_value_mask(dict_vals: pa.Array, op: str, value) -> "np.ndarray":
+    """Boolean mask over the (small) dictionary values for any DNF op."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if op == "==":
+        m = pc.equal(dict_vals, value)
+    elif op == "!=":
+        m = pc.not_equal(dict_vals, value)
+    elif op == "in":
+        m = pc.is_in(dict_vals, value_set=pa.array(sorted(value)))
+    elif op == ">=":
+        m = pc.greater_equal(dict_vals, value)
+    elif op == ">":
+        m = pc.greater(dict_vals, value)
+    elif op == "<=":
+        m = pc.less_equal(dict_vals, value)
+    elif op == "<":
+        m = pc.less(dict_vals, value)
+    elif op == "prefix":
+        m = pc.starts_with(dict_vals, pattern=value)
+    else:
+        raise ValueError(f"unknown op {op}")
+    return np.asarray(pc.fill_null(m, False))
+
+
+def encoded_clause_mask(blob: bytes, cm: dict, op: str, value) -> "np.ndarray | None":
+    """Evaluate one DNF clause directly on the ENCODED form of a column
+    — the §2.10 'predicate filter on encoded form', generalized from
+    equality to the full op set (skar evaluates its whole selection DNF
+    against every folder, /root/reference/skar/src/query/execution/
+    mod.rs:120-261):
+
+    - dict/rle: decode only the (small) dictionary, evaluate the op on
+      it, expand matching codes through the index/run stream — the
+      value column itself is never materialized;
+    - for_bitpack: unpack the rebased ints and compare in numpy.
+
+    Returns None when the codec/meta doesn't support it (caller decodes
+    and compares — exact either way)."""
     import numpy as np
 
     from ..codecs import base as cbase
@@ -154,41 +205,90 @@ def encoded_equality_mask(blob: bytes, cm: dict, values: list) -> "np.ndarray | 
     from ..codecs.plain import PlainCodec
 
     meta = cm["meta"]
-    if cm["codec"] not in ("dict", "rle") or meta.get("has_nulls"):
+    if meta.get("has_nulls"):
         return None  # fallback: decode + compare (nulls need the bitmap)
-    payload = auto.page_decompress(blob, cm["page"], cm["payload_len"])
     n = meta["n"]
+    if cm["codec"] == "for_bitpack" and op in ("==", "!=", "in", ">=", ">", "<=", "<"):
+        if not isinstance(value, (int, float, list, tuple, set)) or isinstance(value, bool):
+            return None
+        payload = auto.page_decompress(blob, cm["page"], cm["payload_len"])
+        _nulls, body = cbase.unpack_sections(payload)
+        vals = unpack_ints_with_reference(body, meta, n)
+        if op == "==":
+            return vals == value
+        if op == "!=":
+            return vals != value
+        if op == "in":
+            return np.isin(vals, np.array(sorted(value), dtype=np.int64))
+        if op == ">=":
+            return vals >= value
+        if op == ">":
+            return vals > value
+        if op == "<=":
+            return vals <= value
+        return vals < value
+    if cm["codec"] not in ("dict", "rle"):
+        return None
+    payload = auto.page_decompress(blob, cm["page"], cm["payload_len"])
     plain = PlainCodec()
     if cm["codec"] == "dict":
         _nulls, idx_payload, val_payload = cbase.unpack_sections(payload)
         vm = meta["values_meta"]
         dict_vals = plain.decode(val_payload, vm, vm["n"])
-        match_codes = {i for i, v in enumerate(dict_vals.to_pylist()) if v in values}
+        vmask = _dict_value_mask(dict_vals, op, value)
         indices = bitunpack(idx_payload, meta["width"], n)
-        return np.isin(indices, np.array(sorted(match_codes), dtype=np.uint64))
-    # rle: expand run codes -> mask, without touching the value payload sizes
+        return vmask[indices.astype(np.int64)]
+    # rle: evaluate per run code, repeat by run length
     _nulls, codes_payload, lens_payload, val_payload = cbase.unpack_sections(payload)
     k = meta["n_runs"]
     run_codes = unpack_ints_with_reference(codes_payload, meta["codes_meta"], k)
     run_lens = unpack_ints_with_reference(lens_payload, meta["lens_meta"], k)
     vm = meta["values_meta"]
     dict_vals = plain.decode(val_payload, vm, vm["n"])
-    match_codes = {i for i, v in enumerate(dict_vals.to_pylist()) if v in values}
-    run_match = np.isin(run_codes, np.array(sorted(match_codes), dtype=np.int64))
-    return np.repeat(run_match, run_lens)
+    vmask = _dict_value_mask(dict_vals, op, value)
+    return np.repeat(vmask[run_codes.astype(np.int64)], run_lens)
+
+
+def encoded_equality_mask(blob: bytes, cm: dict, values: list) -> "np.ndarray | None":
+    """Back-compat shim: ``col ∈ values`` on the encoded form."""
+    return encoded_clause_mask(blob, cm, "in", values)
+
+
+def _chunk_stats_of(ch) -> "callable":
+    """stats_of(col) over a chunk's stored per-column stats (typed dict
+    with optional distinct/bloom; legacy [lo, hi] string pair)."""
+    mm = {cm["name"]: cm.get("minmax") for cm in ch["columns"] if cm.get("minmax")}
+
+    def stats_of(c):
+        st = mm.get(c)
+        if st is None:
+            return {}
+        if isinstance(st, list):  # legacy [lo, hi] string pair
+            return {"min": st[0], "max": st[1], "t": "s"}
+        return st
+
+    return stats_of
 
 
 def read_container(path: str, columns: list[str] | None = None,
                    chunk_indices: list[int] | None = None,
-                   dnf=None, encoded_filter: tuple[str, list] | None = None) -> pa.Table:
+                   dnf=None, encoded_filter: tuple[str, list] | None = None,
+                   apply_dnf: bool = False) -> pa.Table:
     """Decode a container back to a pyarrow Table (projected, chunk-pruned).
 
     Mirrors the reference's projected + row-group-pruned Parquet reader
     (/root/reference/skar/src/query/data_provider.rs:121-183).  ``dnf``
-    prunes whole chunks via their per-column min/max (row-group skip,
-    data_provider.rs:250-333) — the decoded result still needs the
-    exact row filter applied downstream.
+    prunes whole chunks via their per-column stats (min/max + distinct
+    + SBBF — row-group skip, data_provider.rs:250-333, indexes
+    build_parquet_idx.rs:50-115).  With ``apply_dnf=True`` the full DNF
+    is ALSO evaluated exactly per chunk, on the encoded form where the
+    codec supports it (``encoded_clause_mask``) and by decode+compare
+    otherwise; only matching rows of the projected columns are
+    returned, and chunks with an all-false mask are never decoded.
     """
+    import numpy as np
+    import pyarrow.compute as pc
+
     header, blob_start = read_header(path)
     schema_cols = [name for name, _ in header["schema"]]
     want = columns or schema_cols
@@ -198,51 +298,64 @@ def read_container(path: str, columns: list[str] | None = None,
     if dnf:
         from .pruning import dnf_possible
 
-        def keep(ch):
-            mm = {
-                cm["name"]: cm.get("minmax") for cm in ch["columns"] if cm.get("minmax")
-            }
-
-            def stats_of(c):
-                st = mm.get(c)
-                if st is None:
-                    return {}
-                if isinstance(st, list):  # legacy [lo, hi] string pair
-                    return {"min": st[0], "max": st[1], "t": "s"}
-                return st
-
-            return dnf_possible(stats_of, dnf)
-
-        chunks = [ch for ch in chunks if keep(ch)]
+        chunks = [ch for ch in chunks if dnf_possible(_chunk_stats_of(ch), dnf)]
+    if encoded_filter is not None and not apply_dnf:
+        fcol, fvals = encoded_filter
+        dnf_exact = [[(fcol, "in", sorted(fvals))]]
+    elif apply_dnf and dnf:
+        dnf_exact = dnf
+    else:
+        dnf_exact = None
     arrays: dict[str, list[pa.Array]] = {name: [] for name in want}
     with open(path, "rb") as f:
-        for ch in chunks:
-            mask = None
-            if encoded_filter is not None:
-                fcol, fvals = encoded_filter
-                for cm in ch["columns"]:
-                    if cm["name"] == fcol:
-                        f.seek(blob_start + cm["offset"])
-                        blob = f.read(cm["length"])
-                        mask = encoded_equality_mask(blob, cm, fvals)
-                        if mask is None:  # codec not maskable: decode + compare
-                            arr = auto.decode_column(blob, cm["meta"], cm["page"], cm["payload_len"])
-                            import numpy as np
-                            import pyarrow.compute as pc
 
-                            mask = np.asarray(
-                                pc.is_in(arr, value_set=pa.array(sorted(fvals)))
-                            )
-                        break
-            for cm in ch["columns"]:
-                if cm["name"] not in arrays:
+        def read_blob(cm):
+            f.seek(blob_start + cm["offset"])
+            return f.read(cm["length"])
+
+        for ch in chunks:
+            metas = {cm["name"]: cm for cm in ch["columns"]}
+            decoded: dict[str, pa.Array] = {}
+
+            def col_decoded(name):
+                if name not in decoded:
+                    cm = metas[name]
+                    decoded[name] = auto.decode_column(
+                        read_blob(cm), cm["meta"], cm["page"], cm["payload_len"]
+                    )
+                return decoded[name]
+
+            mask = None
+            if dnf_exact:
+                def clause_mask(col, op, value):
+                    cm = metas[col]
+                    if col not in decoded:
+                        m = encoded_clause_mask(read_blob(cm), cm, op, value)
+                        if m is not None:
+                            return m
+                    arr = col_decoded(col)
+                    from ..pipelines.query_encoded import _clause_compute
+
+                    return np.asarray(pc.fill_null(_clause_compute(arr, op, value), False))
+
+                mask = None
+                for conj in dnf_exact:
+                    m = None
+                    for col, op, value in conj:
+                        cmask = clause_mask(col, op, value)
+                        m = cmask if m is None else (m & cmask)
+                        if not m.any():
+                            break
+                    mask = m if mask is None else (mask | m)
+                if mask is not None and not mask.any():
+                    continue  # no rows match: skip decoding projection entirely
+            for name in want:
+                if name not in metas:
                     continue
-                f.seek(blob_start + cm["offset"])
-                blob = f.read(cm["length"])
-                arr = auto.decode_column(blob, cm["meta"], cm["page"], cm["payload_len"])
+                arr = col_decoded(name)
                 if mask is not None:
                     arr = arr.filter(pa.array(mask))
-                arrays[cm["name"]].append(arr)
+                arrays[name].append(arr)
     type_by_name = dict(header["schema"])
     out = {}
     for name in want:

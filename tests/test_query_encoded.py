@@ -181,3 +181,66 @@ def test_dnf_remaining_ops(encoded):
         filters=[[("repo", ">", repo_mid)], [("lang", "<=", lang0)]],
     ).count()
     assert got2 == want2
+
+
+def test_full_dnf_encoded_masks_match_source(encoded):
+    """Range / != / prefix / conjunction clauses evaluated on the
+    ENCODED form (dict/rle code streams, FoR int streams) must match
+    plain decode-then-filter exactly."""
+    src = read_corpus_table(encoded)
+    cases = [
+        [[("lang", "!=", "go")]],
+        [[("lang", ">=", "python")]],
+        [[("repo", "<", "org2")]],
+        [[("path", "prefix", "src/"), ("lang", "in", ["go", "rust"])]],
+        [[("lang", "==", "go")], [("repo", ">", "org8")]],
+    ]
+    import pandas as pd
+
+    from skar_ray.pipelines.query_encoded import _apply_dnf
+
+    for dnf in cases:
+        want = (
+            _apply_dnf(src, dnf).select(["repo", "path", "lang"]).to_pandas()
+            .sort_values(["repo", "path", "lang"]).reset_index(drop=True)
+        )
+        got = (
+            query_encoded(OUT, columns=["repo", "path", "lang"], filters=dnf)
+            .to_pandas().sort_values(["repo", "path", "lang"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want), dnf
+
+
+def test_chunk_bloom_distinct_skips_point_lookup(encoded):
+    """Per-chunk distinct/SBBF stats must let a selective path point
+    query skip chunks (the reference's per-row-group indexes,
+    build_parquet_idx.rs:89-115) with identical results."""
+    import glob
+
+    from skar_ray.state import container
+    from skar_ray.state.container import _chunk_stats_of
+    from skar_ray.state.pruning import dnf_possible
+
+    paths = sorted(glob.glob(os.path.join(OUT, "*.skarc")))
+    multi = [p for p in paths if len(container.read_header(p)[0]["chunks"]) > 1]
+    assert multi, "need a multi-chunk container"
+    p = multi[0]
+    header, _ = container.read_header(p)
+    # a path value present ONLY in the last chunk
+    full = container.read_container(p, columns=["path"])
+    last = container.read_container(p, columns=["path"], chunk_indices=[len(header["chunks"]) - 1])
+    probe = None
+    first_paths = set(
+        container.read_container(p, columns=["path"], chunk_indices=[0]).column("path").to_pylist()
+    )
+    for v in last.column("path").to_pylist():
+        if v not in first_paths:
+            probe = v
+            break
+    assert probe is not None
+    dnf = [[("path", "==", probe)]]
+    kept = [ch for ch in header["chunks"] if dnf_possible(_chunk_stats_of(ch), dnf)]
+    assert len(kept) < len(header["chunks"]), "point query should skip chunks"
+    got = container.read_container(p, columns=["path"], dnf=dnf, apply_dnf=True)
+    want = full.filter(pc.equal(full["path"], probe))
+    assert sorted(got.column("path").to_pylist()) == sorted(want.column("path").to_pylist())
