@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 
 from . import base
-from . import plain, dictionary, rle, for_bitpack, fsst, delta  # noqa: F401  (register codecs)
+from . import plain, dictionary, rle, for_bitpack, fsst, delta, bytesplit, list_child  # noqa: F401  (register codecs)
 
 ZSTD_LEVEL = 9  # mirror of skar's Zstd(9) pages (write_parquet.rs:239)
 _SAMPLE_ROWS = 1024
@@ -26,13 +26,13 @@ def candidates_for(t: pa.DataType) -> list[str]:
     if base.is_string_like(t):
         return ["rle", "dict", "fsst", "plain"]
     if base.is_int_like(t):
-        return ["for_bitpack", "delta", "rle", "dict", "plain"]
+        return ["for_bitpack", "delta", "rle", "dict", "bytesplit", "plain"]
     if pa.types.is_boolean(t):
         return ["for_bitpack", "rle", "dict", "plain"]
     if pa.types.is_floating(t):
-        return ["rle", "dict", "plain"]
+        return ["bytesplit", "rle", "dict", "plain"]
     if base.is_numeric_list(t):
-        return ["plain"]  # lengths+values layout; child-level codecs TBD
+        return ["list_child", "plain"]  # child values get their own codec
     return ["plain"]
 
 

@@ -168,3 +168,30 @@ def test_fsst_refine_symbols_bitexact_and_fewer_passes():
         for j, o in enumerate(chain):
             if o is not s and s in o:
                 assert j < i or len(o) <= len(s)
+
+
+def test_list_child_and_bytesplit_roundtrip_and_win():
+    """Child-level codecs for list<numeric>: bit-exact round-trip and
+    smaller-than-plain on embedding-shaped data; auto-selector picks it."""
+    import numpy as np
+
+    from skar_ray.codecs import auto
+
+    rng = np.random.default_rng(3)
+    emb = [rng.normal(size=32).astype(np.float32) for _ in range(500)]
+    col = pa.array([list(v) for v in emb], type=pa.list_(pa.float32()))
+    e = auto.encode_column(col, "list_child")
+    dec = auto.decode_column(e.blob, e.meta, e.page, e.payload_len)
+    assert dec.equals(col)
+    plain_e = auto.encode_column(col, "plain")
+    assert len(e.blob) <= len(plain_e.blob)
+    assert auto.encode_column(col).codec == "list_child"
+    # int lists route the child through the int candidates (for_bitpack wins)
+    ints = pa.array([[1, 2, 3], [4, 5], []], type=pa.large_list(pa.int64()))
+    e2 = auto.encode_column(ints, "list_child")
+    assert auto.decode_column(e2.blob, e2.meta, e2.page, e2.payload_len).equals(ints)
+    assert e2.meta["child_meta"]["codec"] in ("for_bitpack", "delta", "bytesplit", "plain")
+    # nulls in the outer list survive
+    nl = pa.array([[1.0, 2.0], None, [3.0]], type=pa.list_(pa.float64()))
+    e3 = auto.encode_column(nl, "list_child")
+    assert auto.decode_column(e3.blob, e3.meta, e3.page, e3.payload_len).equals(nl)
