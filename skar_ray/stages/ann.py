@@ -121,3 +121,42 @@ def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out.astype({"query_id": "int64", "vec_id": "int64", "cosine": "float64"}))
+
+
+def brute_force_pairs(ds: "ray.data.Dataset", threshold: float = 0.4) -> pa.Table:
+    """Exact all-pairs cosine >= threshold — the verification baseline
+    for the sub-quadratic LSH path (embedding_dup_pairs).  Returns id
+    pairs only: float score identity across engines is ulp-fragile, so
+    callers wanting scores recompute them.
+
+    Shape: one side of the self-join is broadcast as a unit matrix
+    (``ray.put`` once, fetched once per actor); each batch computes its
+    block-row of the similarity matrix vectorized.  The broadcast side
+    must fit the object store — beyond that, split it into column
+    strips (blocked two-sided matmul) or use the LSH path.
+    """
+    full = ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    ids_all = full["vec_id"].to_numpy(dtype=np.int64)
+    m_all = _unit(np.stack(full["embedding"].to_numpy()).astype(np.float64))
+    ref = ray.put((ids_all, m_all))
+
+    class PairScorer:
+        def __init__(self, ref, thr):
+            self.ids, self.m = ray.get(ref)
+            self.thr = thr
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            bm = _unit(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+            bids = batch["vec_id"].to_numpy(dtype=np.int64)
+            sims = bm @ self.m.T
+            ia, ib = np.where(sims >= self.thr)
+            va, vb = bids[ia], self.ids[ib]
+            keep = va < vb  # upper triangle only; also drops self-pairs
+            return pd.DataFrame({"vec_a": va[keep], "vec_b": vb[keep]})
+
+    out = ds.map_batches(
+        PairScorer, fn_constructor_args=(ref, threshold), batch_format="pandas",
+        batch_size=4096, concurrency=pool_size(),
+    ).to_pandas()
+    out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out.astype({"vec_a": "int64", "vec_b": "int64"}))
