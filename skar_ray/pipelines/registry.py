@@ -120,6 +120,47 @@ def query_encoded_documents(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def append_corpus(sf_dir: str) -> pd.DataFrame:
+    """Incremental-append lifecycle (skar's tip-following flush,
+    skar_runner.rs:285-370): encode the first half of the corpus, append
+    the second half, return the (deterministic) final manifest summary —
+    proving only touched partitions re-encode and the result verifies."""
+    import pyarrow.parquet as _pq
+
+    from ..corpus import ensure_corpus, read_corpus_table, rows_for_sf, sf_from_dir
+    from ..state import manifest as manifest_mod
+    from .append_job import run_append_job
+    from .decode_job import run_verify_job
+    from .encode_job import run_encode_job
+
+    n = rows_for_sf(sf_from_dir(sf_dir), cap=5000)
+    d = ensure_corpus(n)
+    work = tempfile.mkdtemp(prefix="skar_append_")
+    try:
+        full = read_corpus_table(os.path.join(d, "corpus.parquet"))
+        half = full.num_rows // 2
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        _pq.write_table(full.slice(0, half), os.path.join(src, "base.parquet"))
+        out = os.path.join(work, "out")
+        run_encode_job(os.path.join(src, "base.parquet"), out,
+                       target_partition_bytes=2 << 20, chunk_target_bytes=1 << 20)
+        delta_dir = os.path.join(work, "delta")
+        os.makedirs(delta_dir)
+        _pq.write_table(full.slice(half), os.path.join(delta_dir, "delta.parquet"))
+        r = run_append_job(delta_dir, out,
+                           base_corpus_path=os.path.join(src, "base.parquet"),
+                           target_partition_bytes=2 << 20, chunk_target_bytes=1 << 20)
+        _pq.write_table(full.slice(half), os.path.join(src, "delta.parquet"))
+        v = run_verify_job(src, out)
+        assert v["rows_match"] and v["digests_verified"], (r, v)
+        ms = manifest_mod.scan_manifests(out)
+        rows = sorted((m.partition_id, m.n_rows, m.content_sha256) for m in ms.values())
+        return pd.DataFrame(rows, columns=["partition_id", "n_rows", "content_sha256"])
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def compact_corpus(sf_dir: str) -> pd.DataFrame:
     """Compaction lifecycle (skar's accumulate→compact): encode a small
     corpus deliberately fragmented, compact into larger partitions,
@@ -586,6 +627,7 @@ QUERIES: dict[str, tuple] = {
         "WHERE (lang = 'en' AND n_chars >= 400) OR (source = 'src7' AND n_chars < 150)",
     ),
     "compact_corpus": (compact_corpus, None),
+    "append_corpus": (append_corpus, None),
     # text analysis
     "token_count": (
         token_count,
