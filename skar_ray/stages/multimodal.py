@@ -7,17 +7,21 @@ Decode / feature-extract / resize / frame-sample are **actor-pool**
 ``map_batches`` stages: library handles load once per actor in
 ``__init__``.
 
-The decode libraries (PIL, librosa, cv2) are NOT in this container, so
-the actual pixel/sample decode is STUBBED: gated behind an import-try,
-falling back to a deterministic fake decoder (dimensions / durations
-derived from a blake2b of the payload).  The Ray-side plumbing —
-schema, batch sizing for large binaries, actor signature, output
-layout — is real and tested.
+Decode is REAL for the two formats this engine synthesizes and parses
+without external libraries: PNG metadata (IHDR width/height/color-type,
+plus full zlib scanline decode for pixel stats) and WAV audio (stdlib
+``wave``: true duration + RMS over decoded int16 samples).  PIL /
+librosa are still preferred when importable (absent in this
+container); payloads that are neither PNG nor WAV fall back to a
+deterministic fake so the plumbing stays total.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -37,6 +41,98 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
     return 64 + h[0] % 192, 64 + h[1] % 192  # deterministic WxH
 
 
+# --------------------------------------------- pure-Python PNG / WAV
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+
+
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
+    """A valid greyscale PNG, written from scratch (IHDR/IDAT/IEND with
+    correct CRCs; deterministic pixels from `seed`)."""
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit greyscale
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (height, width), dtype=np.uint8)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(height))  # filter 0 rows
+    return (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_png(payload: bytes) -> tuple[int, int, str] | None:
+    """(width, height, mode) from the IHDR — a real header decode, no
+    library needed.  None if the payload is not a PNG."""
+    if not payload.startswith(_PNG_MAGIC) or len(payload) < 33:
+        return None
+    w, h = struct.unpack(">II", payload[16:24])
+    color_type = payload[25]
+    return w, h, _PNG_MODES.get(color_type, f"CT{color_type}")
+
+
+def decode_png_pixels(payload: bytes) -> np.ndarray | None:
+    """Full scanline decode of a filter-0 greyscale PNG (the format
+    make_png emits) — returns the (h, w) uint8 pixel matrix."""
+    meta = parse_png(payload)
+    if meta is None:
+        return None
+    w, h, mode = meta
+    if mode != "L":
+        return None
+    idat = b""
+    off = len(_PNG_MAGIC)
+    while off + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[off : off + 4])
+        tag = payload[off + 4 : off + 8]
+        if tag == b"IDAT":
+            idat += payload[off + 8 : off + 8 + ln]
+        off += 12 + ln
+    raw = zlib.decompress(idat)
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    if (rows[:, 0] != 0).any():
+        return None  # non-trivial filters: out of scope for the fallback
+    return rows[:, 1:]
+
+
+def make_wav(n_samples: int, sample_rate: int = 16000, freq: float = 440.0) -> bytes:
+    """A valid 16-bit mono PCM WAV (stdlib ``wave``), deterministic."""
+    import wave
+
+    t = np.arange(n_samples, dtype=np.float64) / sample_rate
+    samples = (np.sin(2 * np.pi * freq * t) * 12000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def parse_wav(payload: bytes) -> tuple[float, np.ndarray] | None:
+    """(duration_s, int16 sample array) via stdlib ``wave`` — a real
+    audio decode.  None if the payload is not a RIFF/WAVE file."""
+    if not (payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"):
+        return None
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n = w.getnframes()
+            rate = w.getframerate()
+            data = w.readframes(n)
+        samples = np.frombuffer(data, dtype="<i2")
+        return n / rate, samples
+    except Exception:
+        return None
+
+
 class ImageDecoder:
     """Actor: decode image bytes → (width, height, mode, n_pixels).
 
@@ -54,11 +150,12 @@ class ImageDecoder:
             self._pil = None
 
     def _decode(self, payload: bytes) -> tuple[int, int, str]:
-        if self._pil is not None:  # pragma: no cover
-            import io
-
+        if self._pil is not None:  # pragma: no cover - PIL absent here
             with self._pil.open(io.BytesIO(payload)) as im:
                 return im.width, im.height, im.mode
+        meta = parse_png(payload)  # real header decode, library-free
+        if meta is not None:
+            return meta
         w, h = _fake_dims(payload)
         return w, h, "STUB"
 
@@ -143,8 +240,13 @@ class AudioFeatures:
         durs, energies = [], []
         for v in batch.column("payload"):
             p = v.as_py()
-            durs.append(len(p) / (2 * self.sample_rate))  # int16 mono assumption
-            a = np.frombuffer(p[: len(p) - len(p) % 2], dtype=np.int16)
+            parsed = parse_wav(p)  # real WAV decode (stdlib wave)
+            if parsed is not None:
+                dur, a = parsed
+            else:  # raw-bytes fallback: int16 mono assumption
+                dur = len(p) / (2 * self.sample_rate)
+                a = np.frombuffer(p[: len(p) - len(p) % 2], dtype=np.int16)
+            durs.append(dur)
             energies.append(float(np.sqrt(np.mean(a.astype(np.float64) ** 2))) if len(a) else 0.0)
         return pa.table(
             {
@@ -156,17 +258,29 @@ class AudioFeatures:
 
 
 def media_dataset_from_documents(sf_dir: str):
-    """Adapter: wrap the `documents` table's text bytes as opaque media
-    payloads so the multimodal stages have a deterministic input."""
+    """Adapter: deterministic media payloads derived from the
+    `documents` table — REAL formats where the engine can decode them
+    library-free: image rows carry valid PNGs (dims seeded by doc_id),
+    audio rows carry valid 16-bit PCM WAVs, video rows keep opaque text
+    bytes (frame sampling operates on raw offsets anyway)."""
     import ray.data
 
     def to_media(batch: pa.Table) -> pa.Table:
-        payloads = [t.as_py().encode() for t in batch.column("text")]
-        kinds = ["image", "audio", "video"]
+        kinds, payloads = [], []
+        for did, t in zip(batch.column("doc_id"), batch.column("text")):
+            i = did.as_py()
+            kind = ["image", "audio", "video"][i % 3]
+            kinds.append(kind)
+            if kind == "image":
+                payloads.append(make_png(16 + i % 48, 16 + (i // 3) % 48, seed=i))
+            elif kind == "audio":
+                payloads.append(make_wav(800 + (i % 32) * 100, freq=220.0 + i % 440))
+            else:
+                payloads.append(t.as_py().encode())
         return pa.table(
             {
                 "media_id": batch.column("doc_id"),
-                "kind": pa.array([kinds[i.as_py() % 3] for i in batch.column("doc_id")]),
+                "kind": pa.array(kinds),
                 "payload": pa.array(payloads, type=pa.large_binary()),
                 "source": batch.column("source"),
             }

@@ -128,3 +128,66 @@ def test_multimodal_resizer_and_audio(ray_session):
                            batch_size=64, concurrency=1).to_pandas()
     assert (audio["duration_s"] > 0).all()
     assert audio.loc[1, "rms_energy"] > 0
+
+
+def test_png_wav_real_decode():
+    """Pure-Python PNG/WAV generation and decode: the media path is a
+    REAL decode for these formats, no external library required."""
+    import numpy as np
+
+    png = multimodal.make_png(37, 21, seed=5)
+    assert multimodal.parse_png(png) == (37, 21, "L")
+    px = multimodal.decode_png_pixels(png)
+    assert px is not None and px.shape == (21, 37)
+    # pixel content is the seeded matrix, fully round-tripped
+    rng = np.random.default_rng(5)
+    assert (px == rng.integers(0, 256, (21, 37), dtype=np.uint8)).all()
+
+    wav = multimodal.make_wav(1600, sample_rate=16000, freq=440.0)
+    dur, samples = multimodal.parse_wav(wav)
+    assert abs(dur - 0.1) < 1e-9
+    assert len(samples) == 1600
+    # a 440 Hz sine at amplitude 12000 has RMS ~ 12000/sqrt(2)
+    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+    assert abs(rms - 12000 / np.sqrt(2)) / rms < 0.02
+
+    assert multimodal.parse_png(b"not a png") is None
+    assert multimodal.parse_wav(b"not a wav") is None
+
+
+def test_image_decoder_uses_real_png_metadata():
+    dec = multimodal.ImageDecoder()
+    png = multimodal.make_png(48, 32, seed=1)
+    w, h, mode = dec._decode(png)
+    assert (w, h) == (48, 32)
+    assert mode in ("L",)  # PIL (if present) and the header parse agree on greyscale
+    # non-PNG payloads still fall back deterministically
+    w2, h2, m2 = dec._decode(b"opaque-bytes")
+    assert m2 == "STUB" and (w2, h2) == multimodal._fake_dims(b"opaque-bytes")
+
+
+def test_pil_branch_agrees_when_available():
+    import pytest
+
+    pytest.importorskip("PIL")
+    from PIL import Image  # noqa: F401
+
+    dec = multimodal.ImageDecoder()
+    png = multimodal.make_png(25, 19, seed=2)
+    assert dec._pil is not None
+    assert dec._decode(png)[:2] == (25, 19)
+
+
+def test_audio_features_real_wav(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    wav = multimodal.make_wav(3200, sample_rate=16000)
+    t = pa.table({"media_id": pa.array([1], type=pa.int64()),
+                  "payload": pa.array([wav], type=pa.large_binary())})
+    out = ray.data.from_arrow(t).map_batches(
+        multimodal.AudioFeatures, batch_format="pyarrow", concurrency=1
+    ).to_pandas()
+    assert abs(out["duration_s"].iloc[0] - 0.2) < 1e-9  # true frames/rate, not byte-length guess
+    assert abs(out["rms_energy"].iloc[0] - 12000 / np.sqrt(2)) / 12000 < 0.02
