@@ -84,6 +84,95 @@ def _apply_dnf(t: pa.Table, dnf: DNF) -> pa.Table:
     return t.filter(mask)
 
 
+def query_encoded_budgeted(
+    out_dir: str,
+    columns: list[str] | None = None,
+    filters: DNF | None = None,
+    time_budget_s: float | None = None,
+    row_budget: int | None = None,
+    cursor: int | None = None,
+    concurrency=None,
+) -> tuple[pa.Table, int | None]:
+    """Budgeted scan with cursor resume — the reference's query time
+    limit + row limits + cursor paging (handler.rs:104-107,
+    server.rs:216-287): partitions are scanned in pid order; when the
+    time or row budget trips, the call returns the results of the
+    consecutive prefix of COMPLETED partitions plus a cursor (the first
+    unfinished pid).  Passing the cursor back resumes exactly there;
+    ``None`` cursor on return means the scan completed.
+    """
+    import time as _time
+
+    t0 = _time.monotonic()
+    if concurrency is None:
+        from .decode_job import _pool_size
+
+        concurrency = _pool_size()
+    manifests = manifest_mod.scan_manifests(out_dir)
+    pids = [p for p in prune_partitions(manifests, filters) if cursor is None or p >= cursor]
+    want_cols = columns
+    if not pids:
+        return pa.table({}), None
+    rows = [
+        {
+            "partition_id": pid,
+            "data_file": manifests[pid].data_file,
+            "n_rows": manifests[pid].n_rows,
+            "content_sha256": manifests[pid].content_sha256,
+        }
+        for pid in pids
+    ]
+    ds = ray.data.from_items(rows).map_batches(
+        DecoderActor,
+        fn_constructor_kwargs=dict(
+            out_dir=out_dir, columns=want_cols, verify=False, dnf=filters,
+            apply_dnf=bool(filters), tag_partition=True,
+        ),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency,
+    )
+    done: dict[int, list[pa.Table]] = {}
+    finished: set[int] = set()
+    total_rows = 0
+    over = False
+    it = ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    for batch in it:
+        if batch.num_rows:
+            pid = int(batch.column("__pid")[0].as_py())
+            done.setdefault(pid, []).append(batch.drop_columns(["__pid"]))
+            finished.add(pid)
+            total_rows += batch.num_rows
+        # batches map 1:1 to partitions (batch_size=1 manifest rows); an
+        # empty batch still completes SOME partition, but carries no pid —
+        # conservatively treat only non-empty ones as finished
+        if time_budget_s is not None and _time.monotonic() - t0 >= time_budget_s:
+            over = True
+        if row_budget is not None and total_rows >= row_budget:
+            over = True
+        # progress guarantee: never stop before the first pid in scan
+        # order has completed, or a tripped budget could return an empty
+        # prefix with an unmoved cursor (batches arrive out of order)
+        if over and pids[0] in finished:
+            break
+    if not over:
+        # completed: empty-result partitions count as finished too
+        finished = set(pids)
+    prefix: list[pa.Table] = []
+    next_cursor = None
+    for pid in pids:
+        if pid in finished:
+            prefix.extend(done.get(pid, []))
+        else:
+            next_cursor = pid
+            break
+    if prefix:
+        out = pa.concat_tables(prefix)
+    else:
+        out = pa.table({})
+    return out, next_cursor
+
+
 def query_encoded(
     out_dir: str,
     columns: list[str] | None = None,

@@ -25,13 +25,15 @@ from .encoder import partition_digest, row_sha256
 
 class DecoderActor:
     def __init__(self, out_dir: str, columns: list[str] | None = None, verify: bool = False,
-                 dnf=None, encoded_filter=None, apply_dnf: bool = False):
+                 dnf=None, encoded_filter=None, apply_dnf: bool = False,
+                 tag_partition: bool = False):
         self.out_dir = out_dir
         self.columns = columns
         self.verify = verify
         self.dnf = dnf  # chunk-level (row-group analog) pruning predicate
         self.encoded_filter = encoded_filter  # (col, values) evaluated on codes
         self.apply_dnf = apply_dnf  # exact full-DNF row mask on the encoded form
+        self.tag_partition = tag_partition  # append __pid (budgeted-scan cursor)
         assert not (verify and (encoded_filter or apply_dnf)), "digest verify needs full partitions"
         self._header_cache: dict[str, tuple[dict, int]] = {}
 
@@ -54,5 +56,10 @@ class DecoderActor:
                     raise ValueError(
                         f"partition {pid}: decoded sha256 digest {got[:16]}… != manifest {expect[:16]}…"
                     )
+            if self.tag_partition:
+                pid = batch.column("partition_id")[i].as_py()
+                t = t.append_column(
+                    "__pid", pa.array([pid] * t.num_rows, type=pa.int64())
+                )
             tables.append(t)
         return pa.concat_tables(tables) if tables else pa.table({})

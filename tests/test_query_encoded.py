@@ -244,3 +244,49 @@ def test_chunk_bloom_distinct_skips_point_lookup(encoded):
     got = container.read_container(p, columns=["path"], dnf=dnf, apply_dnf=True)
     want = full.filter(pc.equal(full["path"], probe))
     assert sorted(got.column("path").to_pylist()) == sorted(want.column("path").to_pylist())
+
+
+def test_budgeted_scan_row_budget_and_cursor(encoded):
+    """Row-budget early stop + cursor resume (the reference's query
+    time limit / row limits / cursor, handler.rs:104-107): chained
+    budgeted calls must reconstruct the full result with no overlap."""
+    from skar_ray.pipelines.query_encoded import query_encoded_budgeted
+
+    full = query_encoded(OUT, columns=["repo", "path"]).to_pandas()
+    got, cursor = [], None
+    calls = 0
+    while True:
+        t, cursor = query_encoded_budgeted(
+            OUT, columns=["repo", "path"], row_budget=300, cursor=cursor
+        )
+        calls += 1
+        if t.num_rows:
+            got.append(t.to_pandas())
+        if cursor is None:
+            break
+        assert calls < 100
+    assert calls > 1, "budget should have forced multiple pages"
+    import pandas as pd
+
+    got_df = pd.concat(got, ignore_index=True)
+    assert len(got_df) == len(full)
+    key = lambda df: sorted(zip(df["repo"], df["path"]))
+    assert key(got_df) == key(full)
+
+
+def test_budgeted_scan_time_budget(encoded):
+    """A zero time budget returns (possibly empty) prefix + a cursor
+    that can resume; an infinite budget completes with cursor None."""
+    from skar_ray.pipelines.query_encoded import query_encoded_budgeted
+
+    t, cur = query_encoded_budgeted(OUT, columns=["repo"], time_budget_s=0.0)
+    # zero budget: must not claim completion unless everything was done in one batch
+    t2, cur2 = query_encoded_budgeted(OUT, columns=["repo"], time_budget_s=1e9)
+    assert cur2 is None
+    full_rows = t2.num_rows
+    # resume from wherever the zero-budget call stopped
+    seen = t.num_rows
+    while cur is not None:
+        nxt, cur = query_encoded_budgeted(OUT, columns=["repo"], time_budget_s=1e9, cursor=cur)
+        seen += nxt.num_rows
+    assert seen == full_rows
