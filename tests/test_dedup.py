@@ -107,3 +107,23 @@ def test_connected_components_chain():
     lbl = dict(zip(comp["node"], comp["label"]))
     assert lbl[1] == lbl[2] == lbl[3] == lbl[4] == 1
     assert lbl[10] == lbl[11] == 10
+
+
+def test_pairs_with_feature_shuffle_path_matches_broadcast(docs_ds, monkeypatch):
+    """The shuffle-join path (pair sets beyond the broadcast limit) must
+    produce the same attachments as the broadcast path."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    feats = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 5, 100, 102], type=pa.int64()),
+        "sh": pa.array([b"a", b"b", b"c", b"d"], type=pa.large_binary()),
+    }))
+    pairs = pa.table({"doc_a": pa.array([0, 0, 5], type=pa.int64()),
+                      "doc_b": pa.array([100, 102, 102], type=pa.int64())})
+    want = dd._pairs_with_feature(pairs, feats).to_pandas()
+    monkeypatch.setattr(dd, "_BROADCAST_PAIR_LIMIT", 0)
+    got = dd._pairs_with_feature(pairs, feats).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b", "f_a", "f_b"]].to_numpy()))
+    assert key(got) == key(want) and len(got) == 3
