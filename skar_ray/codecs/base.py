@@ -70,6 +70,26 @@ def type_from_name(name: str) -> pa.DataType:
             if ": " in inner:
                 inner = inner.split(": ", 1)[1]
             return ctor(type_from_name(inner))
+    if name.startswith("struct<") and name.endswith(">"):
+        inner = name[len("struct<") : -1]
+        fields = []
+        depth = 0
+        start = 0
+        parts = []
+        for i, ch in enumerate(inner):  # split on top-level commas only
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(inner[start:i])
+                start = i + 1
+        if inner:
+            parts.append(inner[start:])
+        for part in parts:
+            fname, ftype = part.strip().split(": ", 1)
+            fields.append(pa.field(fname, type_from_name(ftype)))
+        return pa.struct(fields)
     if name in _NUMPY_BY_NAME:
         return pa.from_numpy_dtype(np.dtype(_NUMPY_BY_NAME[name]))
     raise ValueError(f"unsupported type name: {name}")

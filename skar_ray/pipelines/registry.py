@@ -69,6 +69,43 @@ def encode_roundtrip_embeddings(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def encode_roundtrip_struct(sf_dir: str) -> pd.DataFrame:
+    """struct<string,double> column through the engine: events'
+    (event_type, value) packed into one struct column, encoded via
+    struct_child (one auto-selected stream per field — the reference
+    flattens its nested access-list/log data the same way,
+    schema.rs:119-349), decoded, re-flattened, identity-checked."""
+    import pyarrow.parquet as _pq
+
+    from .decode_job import decoded_dataset
+    from .encode_job import run_encode_job
+
+    src = _pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+    props = pa.StructArray.from_arrays(
+        [src.column("event_type").combine_chunks(), src.column("value").combine_chunks()],
+        ["event_type", "value"],
+    )
+    t = pa.table({"event_id": src.column("event_id"), "props": props})
+    work = tempfile.mkdtemp(prefix="skar_rt_struct_")
+    try:
+        _pq.write_table(t, os.path.join(work, "in.parquet"))
+        out = os.path.join(work, "enc")
+        run_encode_job(os.path.join(work, "in.parquet"), out, mode="sharded",
+                       chunk_target_bytes=4 << 20, resume=False)
+        full = pa.concat_tables(
+            decoded_dataset(out).iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        props_c = full.column("props").combine_chunks()
+        flat = pa.table({
+            "event_id": full.column("event_id"),
+            "event_type": props_c.field("event_type"),
+            "value": props_c.field("value"),
+        })
+        return flat.to_pandas().sort_values("event_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def query_encoded_corpus(sf_dir: str) -> pd.DataFrame:
     """skar-query-path analog over ENCODED partitions: encode the seeded
     corpus once (manifest-resumed cache), then run a projected DNF
@@ -618,6 +655,10 @@ QUERIES: dict[str, tuple] = {
         encode_roundtrip_embeddings,
         "SELECT vec_id, '[' || array_to_string(list_transform(embedding, "
         "x -> printf('%.6f', x)), ',') || ']' AS embedding, label FROM embeddings",
+    ),
+    "encode_roundtrip_struct": (
+        encode_roundtrip_struct,
+        "SELECT event_id, event_type, value FROM events",
     ),
     "encode_corpus_flagship": (encode_corpus_flagship, None),
     "query_encoded_corpus": (query_encoded_corpus, None),

@@ -195,3 +195,27 @@ def test_list_child_and_bytesplit_roundtrip_and_win():
     nl = pa.array([[1.0, 2.0], None, [3.0]], type=pa.list_(pa.float64()))
     e3 = auto.encode_column(nl, "list_child")
     assert auto.decode_column(e3.blob, e3.meta, e3.page, e3.payload_len).equals(nl)
+
+
+def test_struct_child_roundtrip():
+    import numpy as np
+
+    from skar_ray.codecs import auto, base
+
+    t = pa.struct([("a", pa.int64()), ("b", pa.string()), ("c", pa.float64())])
+    arr = pa.array(
+        [{"a": 1, "b": "x", "c": 1.5}, {"a": 2, "b": "y", "c": 2.5}, None,
+         {"a": 4, "b": "x", "c": 0.0}],
+        type=t,
+    )
+    e = auto.encode_column(arr)
+    assert e.codec == "struct_child"
+    assert auto.decode_column(e.blob, e.meta, e.page, e.payload_len).equals(arr)
+    # nested struct + list field recurse through the registry
+    t2 = pa.struct([("x", pa.struct([("p", pa.int32())])), ("y", pa.list_(pa.float32()))])
+    arr2 = pa.array([{"x": {"p": 1}, "y": [1.0, 2.0]}, {"x": {"p": 2}, "y": []}], type=t2)
+    e2 = auto.encode_column(arr2)
+    assert auto.decode_column(e2.blob, e2.meta, e2.page, e2.payload_len).equals(arr2)
+    # type name parsing survives the container schema round-trip
+    assert base.type_from_name(str(t)) == t
+    assert base.type_from_name(str(t2)) == t2
