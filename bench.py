@@ -87,11 +87,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             if encode_s is None or this_s < encode_s:
                 encode_s = this_s
             if rep == 0:  # byte accounting + verified decode once
+                import glob
+
                 import pyarrow.compute as pc2
 
                 enc_bytes = int(pc2.sum(summary.column("enc_bytes")).as_py())
                 raw_bytes = int(pc2.sum(summary.column("raw_bytes")).as_py())
                 ref_bytes = os.path.getsize(os.path.join(corpus_dir, "reference_zstd.parquet"))
+                # on-disk truth: container files (headers incl. chunk
+                # stats/blooms) + manifests — the honest footprint
+                file_bytes = sum(
+                    os.path.getsize(p)
+                    for pat in ("*.skarc", "_manifest/*")
+                    for p in glob.glob(os.path.join(out, pat))
+                )
 
                 t0 = time.time()
                 v = run_verify_job(corpus, out)
@@ -145,8 +154,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "raw_content_bytes": raw_content_bytes,
         "raw_arrow_bytes": raw_bytes,
         "encoded_bytes": enc_bytes,
+        "encoded_file_bytes": file_bytes,
         "reference_zstd_parquet_bytes": ref_bytes,
         "compression_vs_reference": round(ref_bytes / max(1, enc_bytes), 3),
+        "file_compression_vs_reference": round(ref_bytes / max(1, file_bytes), 3),
         "encode_gbps": round(gbps, 3),
         **(
             {
