@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 
 from . import base
-from . import plain, dictionary, rle, for_bitpack, fsst, delta, bytesplit, list_child, struct_child  # noqa: F401  (register codecs)
+from . import plain, dictionary, rle, for_bitpack, fsst, delta, bytesplit, list_child, struct_child, map_child  # noqa: F401  (register codecs)
 
 ZSTD_LEVEL = 9  # mirror of skar's Zstd(9) pages (write_parquet.rs:239)
 _SAMPLE_ROWS = 1024
@@ -35,6 +35,8 @@ def candidates_for(t: pa.DataType) -> list[str]:
         return ["list_child", "plain"]  # child values get their own codec
     if pa.types.is_struct(t):
         return ["struct_child"]  # one auto-selected stream per field
+    if pa.types.is_map(t):
+        return ["map_child"]
     return ["plain"]
 
 

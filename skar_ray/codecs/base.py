@@ -70,6 +70,17 @@ def type_from_name(name: str) -> pa.DataType:
             if ": " in inner:
                 inner = inner.split(": ", 1)[1]
             return ctor(type_from_name(inner))
+    if name.startswith("map<") and name.endswith(">"):
+        inner = name[len("map<") : -1]
+        depth = 0
+        for i, ch in enumerate(inner):  # first top-level comma splits key, item
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                return pa.map_(type_from_name(inner[:i].strip()), type_from_name(inner[i + 1 :].strip()))
+        raise ValueError(f"unsupported type name: {name}")
     if name.startswith("struct<") and name.endswith(">"):
         inner = name[len("struct<") : -1]
         fields = []

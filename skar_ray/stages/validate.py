@@ -38,10 +38,11 @@ def validate_schema(schema: pa.Schema, required: dict = CORPUS_SCHEMA) -> None:
         return
     for field in schema:
         t = field.type
+        from ..codecs.map_child import MapChildCodec
         from ..codecs.struct_child import StructChildCodec
 
         if not (base.is_string_like(t) or base.is_numeric(t) or base.is_numeric_list(t)
-                or StructChildCodec().can_encode(t)):
+                or StructChildCodec().can_encode(t) or MapChildCodec().can_encode(t)):
             raise ValueError(f"column {field.name!r}: unsupported type {t} (no codec)")
 
 

@@ -180,6 +180,10 @@ def test_validate_schema():
     # generic tables: all columns must be encodable
     generic_ok = pa.schema([("x", pa.int64()), ("e", pa.list_(pa.float32()))])
     validate_schema(generic_ok)
-    generic_bad = pa.schema([("s", pa.struct([("a", pa.int64())]))])
+    # structs/maps are now encodable (struct_child / map_child); a
+    # nested list-of-lists still has no codec
+    validate_schema(pa.schema([("s", pa.struct([("a", pa.int64())]))]))
+    validate_schema(pa.schema([("m", pa.map_(pa.string(), pa.int64()))]))
+    generic_bad = pa.schema([("s", pa.list_(pa.list_(pa.int64())))])
     with pt.raises(ValueError, match="unsupported"):
         validate_schema(generic_bad)

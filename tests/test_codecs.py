@@ -219,3 +219,18 @@ def test_struct_child_roundtrip():
     # type name parsing survives the container schema round-trip
     assert base.type_from_name(str(t)) == t
     assert base.type_from_name(str(t2)) == t2
+
+
+def test_map_child_roundtrip():
+    from skar_ray.codecs import auto, base
+
+    t = pa.map_(pa.string(), pa.int64())
+    arr = pa.array([[("a", 1), ("b", 2)], [], [("a", 3)], None, [("c", 9)]], type=t)
+    e = auto.encode_column(arr)
+    assert e.codec == "map_child"
+    assert auto.decode_column(e.blob, e.meta, e.page, e.payload_len).equals(arr)
+    assert base.type_from_name(str(t)) == t
+    t2 = pa.map_(pa.string(), pa.string())
+    arr2 = pa.array([[("x", "y")], [("k", "v"), ("k2", "v2")]], type=t2)
+    e2 = auto.encode_column(arr2)
+    assert auto.decode_column(e2.blob, e2.meta, e2.page, e2.payload_len).equals(arr2)
