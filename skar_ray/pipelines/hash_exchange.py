@@ -21,6 +21,12 @@ pkey's rows fit in one reduce task (guaranteed by the skew-aware plan's
 salt cap).  Memory: the whole input transits the object store between
 phases; Ray spills to disk if it exceeds the store (fine — that is the
 store's job; at cluster scale the refs spread across nodes).
+
+No global map→reduce barrier: a cheap metadata pre-pass records which
+FILES contain which REPOS, so each pkey's set of contributing map
+groups is known up front and its reduce launches the moment those
+groups finish (``ray.wait`` loop) — map stragglers only delay their
+own partitions, not the whole reduce phase.
 """
 
 from __future__ import annotations
@@ -86,15 +92,66 @@ def run_hashed_encode(
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         files_per_map = max(1, len(paths) // (2 * ncpu) or 1)
     groups = [paths[i : i + files_per_map] for i in range(0, len(paths), files_per_map)]
-    map_out = ray.get([_map_split.remote(g, plan, skip_pkeys) for g in groups])
-    by_pkey: dict[int, list] = {}
-    for d in map_out:
+
+    # metadata pre-pass: which repos live in which map group (reads the
+    # tiny dict-encoded repo column only) → pkey → contributing groups
+    @ray.remote
+    def _repos_of(paths: list[str]) -> list[str]:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        repos: set[str] = set()
+        for p in paths:
+            t = pads.dataset(p).to_table(columns=["repo"])
+            repos.update(pc.unique(t.column("repo")).to_pylist())
+        return sorted(repos)
+
+    # launch the heavy maps FIRST; the metadata tasks overlap them
+    map_futs = {(_map_split.remote(g, plan, skip_pkeys)): gi for gi, g in enumerate(groups)}
+    group_repos = ray.get([_repos_of.remote(g) for g in groups])
+    contrib: dict[int, set[int]] = {}
+    for gi, repos in enumerate(group_repos):
+        for r in repos:
+            s, nb = plan.repos.get(r, (0, 1))  # mirror assign_pkeys' default
+            for pk in range(s, s + nb):
+                if pk not in skip_pkeys:
+                    contrib.setdefault(pk, set()).add(gi)
+
+    # ray.wait-driven: launch each pkey's reduce the moment every map
+    # group that can contribute to it has finished
+    done_maps: dict[int, dict[int, "ray.ObjectRef"]] = {}
+    launched: set[int] = set()
+    futs = []
+
+    def _launch_ready():
+        done_set = set(done_maps)
+        for pk, needed in contrib.items():
+            if pk in launched or not needed <= done_set:
+                continue
+            refs = [done_maps[gi][pk] for gi in sorted(needed) if pk in done_maps[gi]]
+            if refs:
+                futs.append(_reduce_encode.remote(
+                    pk, refs, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides
+                ))
+            launched.add(pk)
+
+    pending = dict(map_futs)
+    while pending:
+        ready, _ = ray.wait(list(pending.keys()), num_returns=1)
+        for fut in ready:
+            done_maps[pending.pop(fut)] = ray.get(fut)
+        _launch_ready()
+    # defensive: any pkey emitted by a map but missed by the metadata
+    # pre-pass (cannot happen when repo sets are exact) still encodes
+    leftovers: dict[int, list] = {}
+    for gi, d in done_maps.items():
         for pk, ref in d.items():
-            by_pkey.setdefault(pk, []).append(ref)
-    futs = [
-        _reduce_encode.remote(pk, refs, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides)
-        for pk, refs in sorted(by_pkey.items())
-    ]
+            if pk not in launched:
+                leftovers.setdefault(pk, []).append(ref)
+    for pk, refs in sorted(leftovers.items()):
+        futs.append(_reduce_encode.remote(
+            pk, refs, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides
+        ))
     rows = ray.get(futs)
     if not rows:
         return pa.table(
