@@ -45,12 +45,32 @@ def hex_encode_binary_columns(t: pa.Table) -> pa.Table:
         col = t.column(name)
         typ = col.type
         if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+            import binascii
+
+            import numpy as np
+
+            from ..codecs import base as cbase
+
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            hexed = pa.array(
-                [None if v is None else "0x" + v.hex() for v in arr.to_pylist()],
-                type=pa.string(),
-            )
-            out[name] = hexed
+            nulls, filled = cbase.split_nulls(arr)
+            lengths, data = cbase.strings_to_buffers(filled)
+            # one hexlify call for the whole buffer; per-row "0x"
+            # prefixes land via a single boolean-mask scatter — the
+            # non-prefix bytes ARE hexlify's output in order
+            hexed_all = binascii.hexlify(data)
+            out_lens = 2 * lengths + 2
+            offsets = np.zeros(len(out_lens) + 1, dtype=np.int64)
+            np.cumsum(out_lens, out=offsets[1:])
+            buf = np.empty(int(offsets[-1]), dtype=np.uint8)
+            starts = offsets[:-1]
+            buf[starts] = ord("0")
+            buf[starts + 1] = ord("x")
+            mask = np.ones(len(buf), dtype=bool)
+            mask[starts] = False
+            mask[starts + 1] = False
+            buf[mask] = np.frombuffer(hexed_all, dtype=np.uint8)
+            hexed = cbase.strings_from_buffers(out_lens, buf.tobytes(), pa.string())
+            out[name] = cbase.apply_nulls(hexed, nulls, len(arr))
         else:
             out[name] = col
     return pa.table(out)
