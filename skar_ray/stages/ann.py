@@ -82,9 +82,16 @@ def train_centroids(ds: "ray.data.Dataset", n_lists: int, sample_rows: int = 409
 
 
 def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
-             n_lists: int = 16, nprobe: int = 4, seed: int = 42) -> pa.Table:
-    """IVF: only batch rows whose list is probed get full dot products."""
-    cent = train_centroids(ds, n_lists, seed=seed)
+             n_lists: int | None = None, nprobe: int = 4, seed: int = 42) -> pa.Table:
+    """IVF: only batch rows whose list is probed get full dot products.
+
+    ``n_lists=None`` scales the centroid count with the corpus
+    (~sqrt(n), the standard IVF sizing) so list population stays
+    bounded as the table grows; the training sample grows alongside."""
+    if n_lists is None:
+        n = ds.count()
+        n_lists = max(16, int(np.sqrt(max(1, n))))
+    cent = train_centroids(ds, n_lists, sample_rows=max(4096, 32 * n_lists), seed=seed)
     q = _unit(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     state = ray.put((q, cent, probes))

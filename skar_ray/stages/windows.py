@@ -20,22 +20,33 @@ import ray.data
 def tumbling_window_counts(ds: "ray.data.Dataset", freq: str = "D") -> pd.DataFrame:
     """Per (user_id, day) tumbling window: row count + min/max value.
 
-    Uses only order-insensitive aggregates (count/min/max) so the result
-    is bit-stable under any execution order.
+    Decomposable aggregates (count/min/max) pre-aggregate PER BATCH
+    before the shuffle (the agg_q1 partial-aggregation pattern), so the
+    exchange moves one row per (user, day, batch) and a hot user never
+    concentrates in a single task — no whole-key-in-one-group
+    assumption, unlike the session/sliding operators which genuinely
+    need the key's full ordered history.
     """
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        g["day"] = g["ts"].dt.floor(freq)
-        out = g.groupby("day", as_index=False).agg(
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.assign(day=batch["ts"].dt.floor(freq))
+        return b.groupby(["user_id", "day"], as_index=False).agg(
             n=("event_id", "size"), min_value=("value", "min"), max_value=("value", "max")
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "day": [g["day"].iloc[0]],
+            "n": [int(g["n"].sum())],
+            "min_value": [g["min_value"].min()],
+            "max_value": [g["max_value"].max()],
+        })
 
     res = (
-        ds.groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby(["user_id", "day"])
+        .map_groups(combine, batch_format="pandas")
         .to_pandas()
         .sort_values(["user_id", "day"])
         .reset_index(drop=True)
