@@ -479,6 +479,78 @@ def connected_components(pairs: pd.DataFrame, a: str = "doc_a", b: str = "doc_b"
     return pd.DataFrame({"node": list(label), "label": [label[n] for n in label]}).astype("int64")
 
 
+def connected_components_distributed(
+    pairs: "ray.data.Dataset", a: str = "doc_a", b: str = "doc_b", max_rounds: int = 50
+) -> pd.DataFrame:
+    """Min-label propagation as Dataset rounds — the cluster-scale
+    version of ``connected_components`` (which runs driver-side over
+    the pair set).  Each round co-groups the edge list with the current
+    labels by node (one groupby shuffle), emits each node's label to
+    its neighbors, and takes the per-node min (a second small groupby);
+    converges in O(log diameter) rounds and stops early when no label
+    changes.  Returns the same (node, label) frame.
+    """
+    def _i64(col) -> pa.Array:
+        import pyarrow.compute as pc
+
+        arr = pc.cast(col, pa.int64())
+        return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+    # symmetric edge list (node, peer); rows = 2 × pairs
+    both_dirs = pairs.map_batches(
+        lambda t: pa.table({
+            "node": pa.concat_arrays([_i64(t.column(a)), _i64(t.column(b))]),
+            "val": pa.concat_arrays([_i64(t.column(b)), _i64(t.column(a))]),
+            "kind": pa.array(["edge"] * (2 * t.num_rows)),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # initial labels: label(node) = node
+    labels = both_dirs.map_batches(
+        lambda t: pa.table({"node": t.column("node"), "label": t.column("node")}),
+        batch_format="pyarrow",
+    ).groupby("node").map_groups(
+        lambda g: pd.DataFrame({"node": [int(g["node"].iloc[0])], "label": [int(g["node"].iloc[0])]})
+        if len(g) else pd.DataFrame({"node": [], "label": []}),
+        batch_format="pandas",
+    ).materialize()
+
+    for _ in range(max_rounds):
+        # stage A (co-group labels with edges by node): each node sends
+        # its CURRENT label to itself and every neighbor
+        lab_rows = labels.map_batches(
+            lambda t: pa.table({"node": _i64(t.column("node")), "val": _i64(t.column("label")),
+                                "kind": pa.array(["label"] * t.num_rows)}),
+            batch_format="pyarrow",
+        )
+
+        def send(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0:
+                return pd.DataFrame({"node": [], "label": []})
+            my = int(g.loc[g["kind"] == "label", "val"].min())
+            peers = g.loc[g["kind"] == "edge", "val"].astype("int64").tolist()
+            nodes = [int(g["node"].iloc[0]), *peers]
+            return pd.DataFrame({"node": nodes, "label": [my] * len(nodes)})
+
+        msgs = lab_rows.union(both_dirs).groupby("node").map_groups(send, batch_format="pandas")
+
+        # stage B: per-node min over received labels
+        def take_min(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0:
+                return pd.DataFrame({"node": [], "label": []})
+            return pd.DataFrame({"node": [int(g["node"].iloc[0])], "label": [int(g["label"].min())]})
+
+        new_labels = msgs.groupby("node").map_groups(take_min, batch_format="pandas").materialize()
+        old = labels.to_pandas().set_index("node")["label"].sort_index()
+        new = new_labels.to_pandas().set_index("node")["label"].sort_index()
+        labels = new_labels
+        if old.equals(new):
+            break
+    out = labels.to_pandas().astype({"node": "int64", "label": "int64"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def dedup_keep_list(ds: "ray.data.Dataset", pairs: pd.DataFrame,
                     id_col: str = "doc_id") -> pd.DataFrame:
     """The actual dedup deliverable: keep the min-id document of every

@@ -127,3 +127,24 @@ def test_pairs_with_feature_shuffle_path_matches_broadcast(docs_ds, monkeypatch)
     got = dd._pairs_with_feature(pairs, feats).to_pandas()
     key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b", "f_a", "f_b"]].to_numpy()))
     assert key(got) == key(want) and len(got) == 3
+
+
+def test_connected_components_distributed_matches_driver(ray_session):
+    """The groupby-rounds CC (cluster-scale path) must equal the
+    driver-side min-label propagation on the same pair set."""
+    import pandas as pd
+    import ray.data
+
+    pairs = pd.DataFrame({
+        "doc_a": [1, 2, 10, 11, 20, 3],
+        "doc_b": [2, 3, 11, 12, 21, 7],
+    })
+    want = dd.connected_components(pairs).sort_values("node").reset_index(drop=True)
+    got = dd.connected_components_distributed(ray.data.from_pandas(pairs))
+    assert got.equals(want), (got, want)
+    # chain of 6 — needs multiple propagation rounds
+    chain = pd.DataFrame({"doc_a": [5, 6, 7, 8, 9], "doc_b": [6, 7, 8, 9, 100]})
+    want2 = dd.connected_components(chain).sort_values("node").reset_index(drop=True)
+    got2 = dd.connected_components_distributed(ray.data.from_pandas(chain))
+    assert got2.equals(want2)
+    assert set(got2["label"]) == {5}
