@@ -106,6 +106,43 @@ def encode_roundtrip_struct(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def encode_roundtrip_map(sf_dir: str) -> pd.DataFrame:
+    """map<string,double> column through the engine: each event's
+    (event_type → value) as a 1-entry map, encoded via map_child (entry
+    counts + key/value child streams), decoded, re-flattened,
+    identity-checked against the raw table."""
+    import pyarrow.parquet as _pq
+
+    from .decode_job import decoded_dataset
+    from .encode_job import run_encode_job
+
+    src = _pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+    n = src.num_rows
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32), type=pa.int32())
+    props = pa.MapArray.from_arrays(
+        offsets, src.column("event_type").combine_chunks(), src.column("value").combine_chunks()
+    )
+    t = pa.table({"event_id": src.column("event_id"), "props": props})
+    work = tempfile.mkdtemp(prefix="skar_rt_map_")
+    try:
+        _pq.write_table(t, os.path.join(work, "in.parquet"))
+        out = os.path.join(work, "enc")
+        run_encode_job(os.path.join(work, "in.parquet"), out, mode="sharded",
+                       chunk_target_bytes=4 << 20, resume=False)
+        full = pa.concat_tables(
+            decoded_dataset(out).iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        props_c = full.column("props").combine_chunks()
+        flat = pa.table({
+            "event_id": full.column("event_id"),
+            "event_type": props_c.keys,
+            "value": props_c.items,
+        })
+        return flat.to_pandas().sort_values("event_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def query_encoded_corpus(sf_dir: str) -> pd.DataFrame:
     """skar-query-path analog over ENCODED partitions: encode the seeded
     corpus once (manifest-resumed cache), then run a projected DNF
@@ -658,6 +695,10 @@ QUERIES: dict[str, tuple] = {
     ),
     "encode_roundtrip_struct": (
         encode_roundtrip_struct,
+        "SELECT event_id, event_type, value FROM events",
+    ),
+    "encode_roundtrip_map": (
+        encode_roundtrip_map,
         "SELECT event_id, event_type, value FROM events",
     ),
     "encode_corpus_flagship": (encode_corpus_flagship, None),
