@@ -10,6 +10,7 @@ get the driver's rows-only check plus their own pytest oracles.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -325,6 +326,75 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
     out = dedup.exact_dedup(_docs(sf_dir)).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def stratified_sample(sf_dir: str, per_group: int = 20) -> pd.DataFrame:
+    """Deterministic stratified sampling: the `per_group` docs with the
+    smallest md5(doc_id) per language — a seedless, shuffle-free sample
+    that any engine reproduces exactly (the standard trick for
+    reproducible training-data subsets).  Per-batch top-k partials →
+    per-group merge; only candidate rows move through the shuffle."""
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["doc_id", "lang"]].copy()
+        b["rk"] = b["doc_id"].map(lambda i: hashlib.md5(str(int(i)).encode()).hexdigest())
+        return b.sort_values("rk").groupby("lang", as_index=False).head(per_group)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("rk").head(per_group)[["doc_id", "lang"]]
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(partials, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+def clean_text(sf_dir: str) -> pd.DataFrame:
+    """Text normalization: collapse ASCII whitespace runs to single
+    spaces and trim — the classic pre-tokenization cleanup, written to
+    match DuckDB regexp_replace/trim exactly."""
+    import re as _re
+
+    pat = _re.compile(r"[ \t\n\r]+")
+
+    def clean(batch: pd.DataFrame) -> pd.DataFrame:
+        cleaned = batch["text"].map(lambda s: pat.sub(" ", s).strip(" "))
+        return pd.DataFrame({"doc_id": batch["doc_id"], "clean_len": cleaned.str.len().astype("int64"),
+                             "clean_md5": cleaned.map(lambda s: hashlib.md5(s.encode()).hexdigest())})
+
+    out = _docs(sf_dir).map_batches(clean, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_filter_stats(sf_dir: str) -> pd.DataFrame:
+    """Composed quality-gate pipeline: score → threshold filter → per
+    (lang, source) survivor counts — the shape of a real corpus-cleaning
+    stage, with integer-exact aggregates for the SQL oracle."""
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"]
+        n_chars = texts.str.len().astype("int64")
+        n_alpha = texts.str.count(r"[A-Za-z]").astype("int64")
+        keep = (n_chars >= 100) & (n_alpha * 2 >= n_chars)  # alpha_ratio >= 0.5, exact ints
+        return batch.loc[keep, ["lang", "source"]]
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(gate, batch_format="pandas")
+        .groupby(["lang", "source"])
+        .map_groups(
+            lambda g: pd.DataFrame({"lang": [g["lang"].iloc[0]], "source": [g["source"].iloc[0]],
+                                    "n_kept": [len(g)]}) if len(g) else
+            pd.DataFrame({"lang": [], "source": [], "n_kept": []}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "source"]).reset_index(drop=True).astype({"n_kept": "int64"})
 
 
 def dedup_minhash(sf_dir: str) -> pa.Table:
@@ -730,6 +800,27 @@ QUERIES: dict[str, tuple] = {
     "fingerprint_rolling": (fingerprint_rolling, None),
     "lang_id": (lang_id, None),
     # dedup suite
+    "stratified_sample": (
+        stratified_sample,
+        "SELECT doc_id, lang FROM ("
+        "  SELECT doc_id, lang, row_number() OVER ("
+        "    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn"
+        "  FROM documents) WHERE rn <= 20",
+    ),
+    "clean_text": (
+        clean_text,
+        "SELECT doc_id, "
+        "length(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ')) AS clean_len, "
+        "md5(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ')) AS clean_md5 "
+        "FROM documents",
+    ),
+    "quality_filter_stats": (
+        quality_filter_stats,
+        "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_kept FROM documents "
+        "WHERE length(text) >= 100 "
+        "AND 2 * len(regexp_extract_all(text, '[A-Za-z]')) >= length(text) "
+        "GROUP BY lang, source",
+    ),
     "dedup_exact": (
         dedup_exact,
         "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
