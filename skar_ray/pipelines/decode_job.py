@@ -44,8 +44,19 @@ def decoded_dataset(
     verify: bool = False,
     concurrency=None,
 ) -> "ray.data.Dataset":
-    concurrency = concurrency or _pool_size()
     mds = manifests_dataset(out_dir)
+    if concurrency is None:
+        # pool FLOOR from the known work set: autoscaling from min=1
+        # ramps far too slowly for a ~10s batch decode (half the wall
+        # time went to actor spin-up at 32 CPUs); idle actors beyond
+        # the partition count are never spawned
+        import ray as _ray
+
+        from ..runtime import pool_size
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        n_parts = mds.count()
+        concurrency = (max(1, min(n_parts, ncpu)), pool_size()[1])
     return mds.map_batches(
         DecoderActor,
         fn_constructor_kwargs=dict(out_dir=out_dir, columns=columns, verify=verify),
