@@ -122,6 +122,11 @@ def query_encoded_budgeted(
         }
         for pid in pids
     ]
+    if isinstance(concurrency, tuple):
+        import ray as _ray
+
+        _ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        concurrency = (max(concurrency[0], min(len(rows), _ncpu, concurrency[1])), concurrency[1])
     ds = ray.data.from_items(rows).map_batches(
         DecoderActor,
         fn_constructor_kwargs=dict(
@@ -209,6 +214,14 @@ def query_encoded(
         }
         for pid in pids
     ]
+    if concurrency is not None and isinstance(concurrency, tuple):
+        # floor the pool at the known work set, capped at the CPU count
+        # (autoscaling from 1 actor dominates second-scale scans; floors
+        # beyond the CPUs oversubscribe small sessions)
+        import ray as _ray
+
+        _ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        concurrency = (max(concurrency[0], min(len(rows), _ncpu, concurrency[1])), concurrency[1])
     mds = ray.data.from_items(rows)
     # §2.10 encoded-form evaluation: the FULL DNF is evaluated inside
     # the container reader — per-chunk stats (min/max/distinct/SBBF)
