@@ -478,8 +478,18 @@ def ann_ivf(sf_dir: str) -> pa.Table:
 
 
 def multimodal_image_meta(sf_dir: str) -> pd.DataFrame:
+    """REAL image decode, differentially tested: the media adapter
+    synthesizes valid PNGs whose dimensions are functions of doc_id;
+    the decoder recovers them by parsing the actual IHDR bytes.  The
+    SQL oracle derives the same dimensions independently — they agree
+    only if PNG write + decode round-trip correctly end-to-end."""
+    import pyarrow.compute as _pc
+
     ds = multimodal.media_dataset_from_documents(sf_dir)
-    out = ds.map_batches(
+    images = ds.map_batches(
+        lambda t: t.filter(_pc.equal(t.column("kind"), "image")), batch_format="pyarrow"
+    )
+    out = images.map_batches(
         multimodal.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=pool_size()
     ).to_pandas()
     return out.sort_values("media_id").reset_index(drop=True)
@@ -849,7 +859,15 @@ QUERIES: dict[str, tuple] = {
     ),
     "ann_ivf": (ann_ivf, None),
     # multimodal plumbing (decode stubbed — no image/audio libs here)
-    "multimodal_image_meta": (multimodal_image_meta, None),
+    "multimodal_image_meta": (
+        multimodal_image_meta,
+        "SELECT doc_id AS media_id, "
+        "CAST(16 + doc_id % 48 AS BIGINT) AS width, "
+        "CAST(16 + (doc_id // 3) % 48 AS BIGINT) AS height, "
+        "'L' AS mode, "
+        "CAST((16 + doc_id % 48) * (16 + (doc_id // 3) % 48) AS BIGINT) AS n_pixels "
+        "FROM documents WHERE doc_id % 3 = 0",
+    ),
     "multimodal_frames": (multimodal_frames, None),
     "multimodal_audio": (multimodal_audio, None),
 }
