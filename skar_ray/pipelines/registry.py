@@ -495,6 +495,22 @@ def multimodal_image_meta(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def multimodal_audio_meta(sf_dir: str) -> pd.DataFrame:
+    """REAL WAV decode, differentially tested (see multimodal_image_meta):
+    durations come from parsing actual RIFF/WAVE frames via the stdlib
+    wave module; the oracle derives them independently from doc_id."""
+    import pyarrow.compute as _pc
+
+    ds = multimodal.media_dataset_from_documents(sf_dir)
+    audio = ds.map_batches(
+        lambda t: t.filter(_pc.equal(t.column("kind"), "audio")), batch_format="pyarrow"
+    )
+    out = audio.map_batches(
+        multimodal.AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=pool_size()
+    ).to_pandas()[["media_id", "duration_s"]]
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     ds = multimodal.media_dataset_from_documents(sf_dir)
     out = ds.map_batches(
@@ -867,6 +883,12 @@ QUERIES: dict[str, tuple] = {
         "'L' AS mode, "
         "CAST((16 + doc_id % 48) * (16 + (doc_id // 3) % 48) AS BIGINT) AS n_pixels "
         "FROM documents WHERE doc_id % 3 = 0",
+    ),
+    "multimodal_audio_meta": (
+        multimodal_audio_meta,
+        "SELECT doc_id AS media_id, "
+        "CAST(800 + (doc_id % 32) * 100 AS DOUBLE) / 16000.0 AS duration_s "
+        "FROM documents WHERE doc_id % 3 = 1",
     ),
     "multimodal_frames": (multimodal_frames, None),
     "multimodal_audio": (multimodal_audio, None),
