@@ -512,8 +512,16 @@ def multimodal_audio_meta(sf_dir: str) -> pd.DataFrame:
 
 
 def multimodal_frames(sf_dir: str) -> pd.DataFrame:
+    """Frame sampling over video media (payload = the doc's utf-8
+    bytes), SQL-differential: the oracle recomputes each frame's byte
+    offset from strlen(text) independently."""
+    import pyarrow.compute as _pc
+
     ds = multimodal.media_dataset_from_documents(sf_dir)
-    out = ds.map_batches(
+    videos = ds.map_batches(
+        lambda t: t.filter(_pc.equal(t.column("kind"), "video")), batch_format="pyarrow"
+    )
+    out = videos.map_batches(
         multimodal.FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=pool_size()
     ).to_pandas()
     out = out.drop(columns=["frame_bytes"])  # offsets prove the plumbing; keep result hashable
@@ -890,6 +898,11 @@ QUERIES: dict[str, tuple] = {
         "CAST(800 + (doc_id % 32) * 100 AS DOUBLE) / 16000.0 AS duration_s "
         "FROM documents WHERE doc_id % 3 = 1",
     ),
-    "multimodal_frames": (multimodal_frames, None),
+    "multimodal_frames": (
+        multimodal_frames,
+        "SELECT d.doc_id AS media_id, gs.i AS frame, "
+        "CAST(gs.i * GREATEST(1, strlen(d.text) // 4) AS BIGINT) AS byte_offset "
+        "FROM documents d, generate_series(0, 3) gs(i) WHERE d.doc_id % 3 = 2",
+    ),
     "multimodal_audio": (multimodal_audio, None),
 }
