@@ -169,3 +169,30 @@ def test_hashed_mode_matches_grouped_and_resumes(ray_session, corpus_dir, tmp_pa
     h_digests = sorted(s1.column("content_sha256").to_pylist())
     g_digests = sorted(g.column("content_sha256").to_pylist())
     assert h_digests == g_digests, "hash exchange must produce identical partitions"
+
+
+def test_corrupted_container_fails_verification(ray_session, tmp_path):
+    """Round-trip proof must be falsifiable: flipping one payload byte in
+    a .skarc makes the verify job raise (digest mismatch or codec
+    error) instead of silently passing."""
+    import glob
+
+    import pytest as pt
+
+    from skar_ray.corpus import ensure_corpus
+    from skar_ray.pipelines.decode_job import run_verify_job
+    from skar_ray.pipelines.encode_job import run_encode_job
+
+    d = ensure_corpus(2000)
+    corpus = os.path.join(d, "corpus.parquet")
+    out = str(tmp_path / "enc")
+    run_encode_job(corpus, out, target_partition_bytes=2 << 20, chunk_target_bytes=1 << 20)
+    assert run_verify_job(corpus, out)["digests_verified"]
+    p = sorted(glob.glob(os.path.join(out, "*.skarc")), key=os.path.getsize)[-1]
+    with open(p, "r+b") as f:
+        f.seek(os.path.getsize(p) - 64)  # inside the blob area
+        b = f.read(1)
+        f.seek(-1, 1)
+        f.write(bytes([b[0] ^ 0xFF]))
+    with pt.raises(Exception):
+        run_verify_job(corpus, out)
