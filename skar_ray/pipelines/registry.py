@@ -474,6 +474,17 @@ def ann_ivf(sf_dir: str) -> pa.Table:
     )
 
 
+def ann_ivf_full(sf_dir: str) -> pa.Table:
+    """IVF with every list probed must reduce to EXACT brute-force top-k
+    — a SQL-verified invariant pinning the bucketing/probe plumbing
+    (ann_ivf with nprobe<n_lists is then the approximate mode of a
+    machine proven exact at full probe)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.ivf_topk(ds, _query_vectors(sf_dir), k=10, n_lists=8, nprobe=8).select(
+        ["query_id", "vec_id"]
+    )
+
+
 # ------------------------------------------------------------ multimodal
 
 
@@ -882,6 +893,15 @@ QUERIES: dict[str, tuple] = {
         "  PARTITION BY query_id ORDER BY c DESC, vec_id) rn FROM sims) WHERE rn <= 10",
     ),
     "ann_ivf": (ann_ivf, None),
+    "ann_ivf_full": (
+        ann_ivf_full,
+        "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5), "
+        "sims AS (SELECT q.query_id, e.vec_id, "
+        " list_cosine_similarity(q.embedding, e.embedding) AS c FROM q CROSS JOIN embeddings e) "
+        "SELECT query_id, vec_id FROM ("
+        " SELECT query_id, vec_id, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY c DESC, vec_id) rn FROM sims) WHERE rn <= 10",
+    ),
     # multimodal plumbing (decode stubbed — no image/audio libs here)
     "multimodal_image_meta": (
         multimodal_image_meta,
