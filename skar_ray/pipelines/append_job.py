@@ -19,6 +19,11 @@ never rewriting history.  Ours:
 
 A repo whose appended rows outgrow its bucket count keeps its pid
 range (partitions grow past target); ``run_compact_job`` rebalances.
+
+Idempotent on retry: each re-encoded manifest carries the append's
+delta fingerprint, so a partially-failed append re-run skips the
+partitions that already merged this delta and filters their delta rows
+out — rows are never applied twice.
 """
 
 from __future__ import annotations
@@ -103,10 +108,40 @@ def run_append_job(
         affected.update(range(s, s + nb))
 
     plan_hash = hashlib.sha256(repr(sorted(plan.repos.items())).encode()).hexdigest()[:16]
-    input_fingerprint = f"append:{target_bytes}:{plan_hash}"
+    from .encode_job import _corpus_fingerprint
 
-    # decode ONLY the affected, already-encoded partitions (no base read)
+    delta_fp = _corpus_fingerprint(new_rows_path)
+    input_fingerprint = f"append:{delta_fp}:{target_bytes}:{plan_hash}"
+
+    # idempotence: a partition whose manifest already carries THIS
+    # append's fingerprint has the delta merged in — re-running a
+    # partially-failed append must neither re-decode it nor add its
+    # delta rows a second time
     manifests = manifest_mod.scan_manifests(out_dir)
+    already = {pid for pid in affected
+               if pid in manifests and manifests[pid].input_fingerprint == input_fingerprint}
+    pending = affected - already
+    if not pending:
+        return {
+            "affected_partitions": sorted(affected),
+            "reencoded": 0,
+            "appended_rows": 0,
+            "already_done": len(already),
+            "total_partitions": len(manifests),
+        }
+    # keep only delta rows destined for still-pending partitions
+    if already:
+        import pyarrow.compute as _pc
+
+        pend_arr = pa.array(sorted(pending))
+        new_ds = new_ds.map_batches(
+            lambda b: (lambda k: k.filter(_pc.is_in(k.column("pkey"), value_set=pend_arr)).drop_columns(["pkey"]))(
+                partitioner.assign_pkeys(b, plan)
+            ),
+            batch_format="pyarrow",
+        )
+
+    # decode ONLY the pending affected partitions (no base read)
     rows = [
         {
             "partition_id": pid,
@@ -114,16 +149,20 @@ def run_append_job(
             "n_rows": manifests[pid].n_rows,
             "content_sha256": manifests[pid].content_sha256,
         }
-        for pid in sorted(affected & set(manifests))
+        for pid in sorted(pending & set(manifests))
     ]
     if rows:
         if concurrency is None:
             from ..runtime import pool_size
 
             concurrency = pool_size()
+        # verify=True: a crash BETWEEN container publish and manifest
+        # write leaves a torn partition (new bytes, old manifest) whose
+        # silent re-append would duplicate rows — the digest check makes
+        # that state fail loudly instead
         old = ray.data.from_items(rows).map_batches(
             DecoderActor,
-            fn_constructor_kwargs=dict(out_dir=out_dir),
+            fn_constructor_kwargs=dict(out_dir=out_dir, verify=True),
             batch_format="pyarrow", batch_size=1, concurrency=concurrency,
         )
         full = old.union(new_ds)
@@ -140,5 +179,6 @@ def run_append_job(
         "affected_partitions": sorted(affected),
         "reencoded": len(summary),
         "appended_rows": int(new_ds.count()),
+        "already_done": len(already),
         "total_partitions": len(manifest_mod.scan_manifests(out_dir)),
     }

@@ -87,3 +87,31 @@ def test_second_append_uses_persisted_plan(ray_session, tmp_path):
     pq.write_table(delta2, os.path.join(SRC, "delta2.parquet"))
     v = run_verify_job(SRC, OUT)
     assert v["rows_match"] and v["digests_verified"], v
+
+
+def test_append_retry_is_idempotent(ray_session, tmp_path):
+    """Re-running the SAME append (as after a mid-job crash) must be a
+    no-op: partitions already carrying the delta fingerprint are
+    skipped and their delta rows are not applied twice."""
+    delta3 = pa.table({
+        "repo": ["zz-new/repo", "zz-new/repo"],
+        "path": ["x/r1.go", "x/r2.go"],
+        "commit": ["d1", "d2"],
+        "lang": ["go", "go"],
+        "content": pa.array(["package r1\n" * 20, "package r2\n" * 20], type=pa.large_string()),
+    })
+    d3 = str(tmp_path / "delta3")
+    os.makedirs(d3)
+    pq.write_table(delta3, os.path.join(d3, "delta3.parquet"))
+    r1 = run_append_job(d3, OUT, chunk_target_bytes=1 << 20)
+    assert r1["appended_rows"] == 2 and r1["reencoded"] >= 1
+    rows_after = sum(m.n_rows for m in manifest_mod.scan_manifests(OUT).values())
+    # retry with the identical delta: nothing re-encodes, nothing duplicates
+    r2 = run_append_job(d3, OUT, chunk_target_bytes=1 << 20)
+    assert r2["reencoded"] == 0 and r2["appended_rows"] == 0, r2
+    assert r2["already_done"] >= 1
+    rows_retry = sum(m.n_rows for m in manifest_mod.scan_manifests(OUT).values())
+    assert rows_retry == rows_after
+    pq.write_table(delta3, os.path.join(SRC, "delta3.parquet"))
+    v = run_verify_job(SRC, OUT)
+    assert v["rows_match"] and v["digests_verified"], v
