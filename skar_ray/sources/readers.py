@@ -30,7 +30,7 @@ def read_skarc(
     out_dir: str,
     columns: list[str] | None = None,
     filters=None,
-    concurrency=(1, 8),
+    concurrency=None,  # None → partition-count/CPU-sized pool (query_encoded)
 ) -> "ray.data.Dataset":
     """Read an encoded partition directory back as a Dataset — the
     engine's own format as a source, with projection, DNF filters and
