@@ -51,15 +51,26 @@ def _map_split(paths: list[str], plan: "partitioner.PartitionPlan",
         tables.append(pads.dataset(p).to_table())
     t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
     keyed = partitioner.assign_pkeys(t, plan)
-    pkeys = keyed.column("pkey")
+    import numpy as np
     import pyarrow.compute as pc
 
+    # one sort + run slicing instead of a filter pass per pkey: the old
+    # loop scanned the whole block once per DISTINCT pkey (O(n·k) — k
+    # grows with partition count at scale); row order within a pkey is
+    # irrelevant (the reducer lexsorts)
+    idx = pc.sort_indices(keyed.column("pkey"))
+    srt = keyed.take(idx).combine_chunks()
+    pk = np.asarray(srt.column("pkey"), dtype=np.int64)
     out: dict[int, ray.ObjectRef] = {}
-    for pk in pc.unique(pkeys).to_pylist():
-        if pk in skip_pkeys:
+    if len(pk) == 0:
+        return out
+    bounds = np.concatenate(([0], np.flatnonzero(np.diff(pk)) + 1, [len(pk)]))
+    for i in range(len(bounds) - 1):
+        start, end = int(bounds[i]), int(bounds[i + 1])
+        pkey = int(pk[start])
+        if pkey in skip_pkeys:
             continue
-        sub = keyed.filter(pc.equal(pkeys, pk))
-        out[int(pk)] = ray.put(sub.combine_chunks())
+        out[pkey] = ray.put(srt.slice(start, end - start).combine_chunks())
     return out
 
 
