@@ -23,6 +23,8 @@ import pyarrow as pa
 from ..codecs import auto, base
 
 MAGIC = b"SKRC1\n"
+MAGIC2 = b"SKRC2\n"  # v2: zstd-compressed JSON header (chunk stats +
+#                      SBBF sketches compress ~3-4×); readers accept both
 
 
 def _chunk_stats(name: str, col) -> dict | None:
@@ -137,11 +139,12 @@ def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]
         "extra": extra or {},
     }
     hjson = json.dumps(header).encode("utf-8")
+    hz = pa.Codec("zstd", compression_level=3).compress(hjson).to_pybytes()
     tmp = f"{path}.tmp-{os.getpid()}"  # unique per writer: a retried/speculative task must not tear a peer's temp file
     with open(tmp, "wb") as f:
-        f.write(MAGIC)
-        f.write(struct.pack("<Q", len(hjson)))
-        f.write(hjson)
+        f.write(MAGIC2)
+        f.write(struct.pack("<QQ", len(hz), len(hjson)))
+        f.write(hz)
         for b in blobs:
             f.write(b)
     os.replace(tmp, path)
@@ -151,6 +154,10 @@ def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]
 def read_header(path: str) -> tuple[dict, int]:
     with open(path, "rb") as f:
         magic = f.read(len(MAGIC))
+        if magic == MAGIC2:
+            hz_len, raw_len = struct.unpack("<QQ", f.read(16))
+            hjson = pa.Codec("zstd").decompress(f.read(hz_len), raw_len).to_pybytes()
+            return json.loads(hjson.decode("utf-8")), len(MAGIC2) + 16 + hz_len
         if magic != MAGIC:
             raise ValueError(f"bad container magic in {path}")
         (hlen,) = struct.unpack("<Q", f.read(8))
