@@ -236,6 +236,26 @@ def append_corpus(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def store_stats_corpus(sf_dir: str) -> pd.DataFrame:
+    """Store introspection over the (cached) encoded corpus: per-column
+    codec choices + byte accounting from manifests alone — the analog of
+    the reference's folder-index range scans (db/mod.rs:217-305).
+    Deterministic given the seeded corpus and plan."""
+    from ..corpus import ensure_corpus, rows_for_sf, sf_from_dir
+    from .encode_job import run_encode_job
+    from .stats import store_stats
+
+    n = rows_for_sf(sf_from_dir(sf_dir), cap=20000)
+    d = ensure_corpus(n)
+    out = f"/tmp/skar_ray_encoded/n{n}"
+    os.makedirs(out, exist_ok=True)
+    run_encode_job(
+        os.path.join(d, "corpus.parquet"), out,
+        target_partition_bytes=16 << 20, chunk_target_bytes=8 << 20, resume=True,
+    )
+    return store_stats(out)
+
+
 def compact_corpus(sf_dir: str) -> pd.DataFrame:
     """Compaction lifecycle (skar's accumulate→compact): encode a small
     corpus deliberately fragmented, compact into larger partitions,
@@ -825,6 +845,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "compact_corpus": (compact_corpus, None),
     "append_corpus": (append_corpus, None),
+    "store_stats_corpus": (store_stats_corpus, None),
     # text analysis
     "token_count": (
         token_count,

@@ -128,3 +128,24 @@ def test_dnf_possible_or_semantics():
     assert not dnf_possible(get, [[("lang", "==", "python")]])
     assert dnf_possible(get, [[("lang", "==", "python")], [("lang", "==", "rust")]])
     assert dnf_possible(get, None)
+
+
+def test_store_stats_and_health(ray_session):
+    import os
+
+    from skar_ray.corpus import ensure_corpus
+    from skar_ray.pipelines.encode_job import run_encode_job
+    from skar_ray.pipelines.stats import store_health, store_stats
+
+    d = ensure_corpus(2000)
+    out = "/tmp/skar_pytest_stats"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    run_encode_job(os.path.join(d, "corpus.parquet"), out,
+                   target_partition_bytes=2 << 20, chunk_target_bytes=1 << 20)
+    st = store_stats(out)
+    assert set(st["column"]) == {"repo", "path", "commit", "lang", "content"}
+    assert (st["enc_bytes"] > 0).all() and (st["ratio"] >= 1).all()
+    h = store_health(out)
+    assert h["rows"] == 2000 and h["all_digests_present"] and h["partitions"] >= 3
