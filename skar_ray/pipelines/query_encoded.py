@@ -138,6 +138,7 @@ def query_encoded_budgeted(
         concurrency=concurrency,
     )
     done: dict[int, list[pa.Table]] = {}
+    got_rows: dict[int, int] = {}
     finished: set[int] = set()
     total_rows = 0
     over = False
@@ -145,12 +146,17 @@ def query_encoded_budgeted(
     for batch in it:
         if batch.num_rows:
             pid = int(batch.column("__pid")[0].as_py())
-            done.setdefault(pid, []).append(batch.drop_columns(["__pid"]))
-            finished.add(pid)
+            expect = int(batch.column("__pid_total")[0].as_py())
+            done.setdefault(pid, []).append(batch.drop_columns(["__pid", "__pid_total"]))
+            got_rows[pid] = got_rows.get(pid, 0) + batch.num_rows
+            if got_rows[pid] >= expect:
+                # a partition counts as finished only once ALL its rows
+                # arrived — Ray's dynamic block splitting may deliver one
+                # partition's output as several blocks
+                finished.add(pid)
             total_rows += batch.num_rows
-        # batches map 1:1 to partitions (batch_size=1 manifest rows); an
-        # empty batch still completes SOME partition, but carries no pid —
-        # conservatively treat only non-empty ones as finished
+        # an empty batch still completes SOME partition, but carries no
+        # pid — conservatively treat only full non-empty ones as finished
         if time_budget_s is not None and _time.monotonic() - t0 >= time_budget_s:
             over = True
         if row_budget is not None and total_rows >= row_budget:

@@ -57,9 +57,15 @@ class DecoderActor:
                         f"partition {pid}: decoded sha256 digest {got[:16]}… != manifest {expect[:16]}…"
                     )
             if self.tag_partition:
+                # __pid_total rides on every row so a consumer can tell
+                # when it has ALL of a partition's rows even if Ray's
+                # dynamic block splitting slices this output into
+                # several blocks downstream
                 pid = batch.column("partition_id")[i].as_py()
                 t = t.append_column(
                     "__pid", pa.array([pid] * t.num_rows, type=pa.int64())
+                ).append_column(
+                    "__pid_total", pa.array([t.num_rows] * t.num_rows, type=pa.int64())
                 )
             tables.append(t)
         return pa.concat_tables(tables) if tables else pa.table({})

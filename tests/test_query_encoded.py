@@ -290,3 +290,30 @@ def test_budgeted_scan_time_budget(encoded):
         nxt, cur = query_encoded_budgeted(OUT, columns=["repo"], time_budget_s=1e9, cursor=cur)
         seen += nxt.num_rows
     assert seen == full_rows
+
+
+def test_budgeted_scan_survives_block_splitting(encoded):
+    """Ray's dynamic block splitting can deliver one partition's output
+    as several blocks; a partition must count as finished only when ALL
+    its rows arrived (regression: first-block completion could drop the
+    rest of a split partition at a budget boundary)."""
+    import ray.data
+
+    from skar_ray.pipelines.query_encoded import query_encoded_budgeted
+
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 64 * 1024
+    try:
+        full = query_encoded(OUT, columns=["repo", "path"]).to_pandas()
+        got, cur, pages = 0, None, 0
+        while True:
+            t, cur = query_encoded_budgeted(OUT, columns=["repo", "path"], row_budget=300, cursor=cur)
+            got += t.num_rows
+            pages += 1
+            assert pages < 200
+            if cur is None:
+                break
+        assert got == len(full)
+    finally:
+        ctx.target_max_block_size = old
