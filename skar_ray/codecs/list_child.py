@@ -80,7 +80,10 @@ class ListChildCodec:
         if meta.get("has_nulls"):
             valid = np.unpackbits(np.frombuffer(nulls_b, dtype=np.uint8), count=n).astype(bool)
             mask = pa.array(~valid)
-        if pa.types.is_large_list(t):
+        if pa.types.is_large_list(t) or offsets[-1] > np.iinfo(np.int32).max:
+            # mirror strings_from_buffers: a flattened child past 2^31
+            # elements cannot be addressed by int32 offsets — promote to
+            # large_list instead of silently wrapping
             return pa.LargeListArray.from_arrays(
                 pa.array(offsets, type=pa.int64()), child, mask=mask
             )

@@ -91,6 +91,10 @@ def run_append_job(
     sizes = partitioner.repo_size_prepass(new_ds)
     new_repos = sizes.column("repo").to_pylist()
     new_bytes = sizes.column("bytes").to_pylist()
+    # count the delta ONCE here, from the prepass we already paid for —
+    # counting after the pending-partition filter would under-report a
+    # retried append and re-execute the delta read just for the metric
+    delta_rows = sum(sizes.column("rows").to_pylist())
 
     # extend the plan with brand-new repos; existing pids never renumber
     next_pid = plan.n_partitions
@@ -178,7 +182,7 @@ def run_append_job(
     return {
         "affected_partitions": sorted(affected),
         "reencoded": len(summary),
-        "appended_rows": int(new_ds.count()),
+        "appended_rows": int(delta_rows),
         "already_done": len(already),
         "total_partitions": len(manifest_mod.scan_manifests(out_dir)),
     }

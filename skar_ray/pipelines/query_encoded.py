@@ -165,9 +165,18 @@ def query_encoded_budgeted(
         # order has completed, or a tripped budget could return an empty
         # prefix with an unmoved cursor (batches arrive out of order)
         if over and pids[0] in finished:
+            broke = True
             break
-    if not over:
-        # completed: empty-result partitions count as finished too
+    else:
+        broke = False
+    if not broke:
+        # the iterator ran to natural exhaustion — every pruned-in
+        # partition was fully scanned, so ALL count as finished,
+        # including zero-match ones (which never emit a non-empty batch)
+        # and regardless of whether a budget tripped on the final
+        # iteration.  Without this a zero-row partition could be
+        # returned as the cursor forever (resume re-scans, re-trips,
+        # same cursor: livelock for a `while cursor` paging caller).
         finished = set(pids)
     prefix: list[pa.Table] = []
     next_cursor = None

@@ -425,8 +425,13 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5, k: int =
         own = dict(zip((int(i) for i in g["doc_id"]), (int(b) for b in g["band"])))
         out = []
         for a_, b_ in capped_pairs(list(by_id)):
-            if min(own[a_], own[b_]) != blk_band:
-                continue  # this pair is evaluated in its lower doc's own band
+            if max(own[a_], own[b_]) != blk_band:
+                # Evaluate each pair exactly once, in the HIGHER doc's own
+                # band: docs replicate upward (bands b..b+reach), so a pair
+                # with bands bA <= bB co-occurs only in blocks with band
+                # >= bB — the lower doc's own band never contains the
+                # higher doc.
+                continue
             j = jaccard(by_id[a_], by_id[b_])
             if j >= threshold:
                 out.append((a_, b_, j))

@@ -148,3 +148,32 @@ def test_connected_components_distributed_matches_driver(ray_session):
     got2 = dd.connected_components_distributed(ray.data.from_pandas(chain))
     assert got2.equals(want2)
     assert set(got2["label"]) == {5}
+
+
+def test_ngram_jaccard_cross_band_pair(ray_session):
+    """Regression (round-2 ADVICE): a qualifying pair whose docs land in
+    DIFFERENT log2 shingle-count bands must still be found.  Docs
+    replicate upward (bands b..b+reach), so the pair co-occurs only in
+    blocks with band >= max(bA, bB); the old guard evaluated pairs in
+    the LOWER doc's own band — a block the higher doc never reaches —
+    and silently dropped every cross-band pair."""
+    import string
+
+    import ray.data
+
+    alphabet = string.ascii_letters + string.digits
+    base = alphabet[:40]                    # ~36 distinct 5-char shingles: band 5
+    longer = base + alphabet[40:62] + "~!@#$%^&*()_+[]{}"  # ~double: band 6
+    sh_a, sh_b = dd._hash_shingles(base, 5), dd._hash_shingles(longer, 5)
+    band_a, band_b = int(np.log2(len(sh_a))), int(np.log2(len(sh_b)))
+    assert band_a != band_b, (len(sh_a), len(sh_b))
+    j = dd.jaccard(sh_a, sh_b)
+    thr = 0.4
+    assert j >= thr, j
+    ds = ray.data.from_pandas(pd.DataFrame([
+        {"doc_id": 1, "text": base, "lang": "en"},
+        {"doc_id": 2, "text": longer, "lang": "en"},
+    ]))
+    pairs = dd.ngram_jaccard_pairs(ds, threshold=thr, k=5, group_col="lang").to_pandas()
+    pset = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (1, 2) in pset, pset

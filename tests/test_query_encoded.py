@@ -317,3 +317,36 @@ def test_budgeted_scan_survives_block_splitting(encoded):
         assert got == len(full)
     finally:
         ctx.target_max_block_size = old
+
+
+def test_budgeted_scan_zero_match_partition_no_livelock(encoded):
+    """Regression (round-2 ADVICE): a partition kept by manifest pruning
+    whose rows are ALL filtered out by the DNF emits only zero-row
+    batches and can never enter `finished` via row accounting.  When the
+    iterator runs to natural exhaustion the scan is complete regardless
+    of whether a budget tripped on the last iteration — otherwise a
+    `while cursor is not None` paging caller livelocks on the zero-row
+    partition (same cursor back forever)."""
+    from skar_ray.pipelines.query_encoded import query_encoded_budgeted
+
+    manifests = manifest_mod.scan_manifests(OUT)
+    # probe: min path of some partition + a low control char ⇒ lexically
+    # inside the partition's [min,max] path range (kept by pruning) but
+    # no real path has this prefix (zero rows match anywhere)
+    some = next(iter(manifests.values()))
+    pmin = some.extra["stats"]["path"]["min"]
+    dnf = [[("path", "prefix", pmin + "\x01x")]]
+    from skar_ray.pipelines.query_encoded import prune_partitions
+
+    assert prune_partitions(manifests, dnf), "probe must keep >=1 partition"
+    total, cur, pages = 0, None, 0
+    while True:
+        t, cur = query_encoded_budgeted(
+            OUT, columns=["path"], filters=dnf, time_budget_s=0.0, cursor=cur
+        )
+        total += t.num_rows
+        pages += 1
+        assert pages < 20, "livelock: cursor never advanced past the zero-match partition"
+        if cur is None:
+            break
+    assert total == 0
