@@ -56,6 +56,10 @@ def _clause_compute(a, op: str, value):
     if op == "!=":
         return pc.not_equal(a, value)
     if op == "in":
+        if not value:
+            # empty set matches nothing; pa.array([]) is null-typed and
+            # is_in against a typed column would raise
+            return pa.array([False] * len(a))
         return pc.is_in(a, value_set=pa.array(sorted(value)))
     if op == ">=":
         return pc.greater_equal(a, value)
@@ -257,3 +261,63 @@ def query_encoded(
     if limit is not None:
         ds = ds.limit(limit)
     return ds
+
+
+def query_encoded_semi_join(
+    store_a: str,
+    store_b: str,
+    key_a: str,
+    key_b: str | None = None,
+    dnf_a: DNF | None = None,
+    dnf_b: DNF | None = None,
+    columns_b: list[str] | None = None,
+    max_keys: int = 10_000_000,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """Cross-table semi-join over two ENCODED stores — the reference's
+    whole query engine is exactly this set propagation over compressed
+    folders: select logs by DNF, collect their transaction keys, then
+    select transactions by that key set, pruning folders and row groups
+    on the way (/root/reference/skar/src/query/execution/mod.rs:21-65,
+    86-95).
+
+    Phase 1 queries store A on the encoded form (projection = [key_a]
+    only — non-key columns of A never decode) and collects the DISTINCT
+    key set, reduced per-batch before it reaches the driver.  Phase 2
+    folds the key set into store B's DNF as an ``in`` clause ANDed into
+    every disjunct, so B benefits from the full pruning ladder —
+    manifest min/max / distinct / SBBF skip whole partitions, per-chunk
+    stats skip chunks, and the clause evaluates on the dict/rle code
+    stream where the codec supports it — before any projection decode.
+
+    Partitioning assumption (same as the reference's): the propagated
+    key set is driver-resident, i.e. the A-side filter is selective.
+    `max_keys` fails loudly instead of silently building a DNF larger
+    than memory; for unbounded key sets use a bucketed join over
+    decoded datasets (stages/joins.bucket_hash_join) instead.
+    """
+    key_b = key_b or key_a
+
+    def _uniq(b: pa.Table) -> pa.Table:
+        col = b.column(key_a)
+        return pa.table({key_a: pc.unique(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)})
+
+    parts = (
+        query_encoded(store_a, columns=[key_a], filters=dnf_a, concurrency=concurrency)
+        .map_batches(_uniq, batch_format="pyarrow")
+        .to_pandas()
+    )
+    keys = sorted(set(parts[key_a].tolist())) if len(parts) else []
+    if len(keys) > max_keys:
+        raise ValueError(
+            f"semi-join key set has {len(keys)} keys (> max_keys={max_keys}); "
+            "use a bucketed hash join over decoded datasets instead"
+        )
+    if not keys:
+        # empty key set: nothing in B can match — reuse the typed-empty
+        # path by pruning every partition with an impossible filter
+        return query_encoded(store_b, columns=columns_b,
+                             filters=[[(key_b, "in", [])]], concurrency=concurrency)
+    in_clause = (key_b, "in", keys)
+    new_dnf: DNF = [conj + [in_clause] for conj in dnf_b] if dnf_b else [[in_clause]]
+    return query_encoded(store_b, columns=columns_b, filters=new_dnf, concurrency=concurrency)

@@ -195,6 +195,37 @@ def query_encoded_documents(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def query_encoded_join(sf_dir: str) -> pd.DataFrame:
+    """Cross-TABLE semi-join over two ENCODED stores — the reference's
+    core query shape: its engine answers every query by propagating key
+    sets between compressed folders (logs -> transactions -> blocks,
+    /root/reference/skar/src/query/execution/mod.rs:21-65).  Encode
+    customer and orders into separate stores, DNF-select customers on
+    the encoded form, fold the surviving c_custkey set into an `in`-DNF
+    over the orders store (manifest pruning + per-chunk stats/SBBF +
+    encoded-form evaluation), and return the matching orders."""
+    from .encode_job import run_encode_job
+    from .query_encoded import query_encoded_semi_join
+
+    work = tempfile.mkdtemp(prefix="skar_qenc_join_")
+    try:
+        store_c = os.path.join(work, "customer")
+        store_o = os.path.join(work, "orders")
+        run_encode_job(f"{sf_dir}/customer.parquet", store_c, mode="sharded",
+                       chunk_target_bytes=128 << 10, resume=False)
+        run_encode_job(f"{sf_dir}/orders.parquet", store_o, mode="sharded",
+                       chunk_target_bytes=128 << 10, resume=False)
+        res = query_encoded_semi_join(
+            store_c, store_o, key_a="c_custkey", key_b="o_custkey",
+            dnf_a=[[("c_mktsegment", "==", "BUILDING")]],
+            dnf_b=[[("o_orderstatus", "==", "F")]],
+            columns_b=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+        ).to_pandas()
+        return res.sort_values("o_orderkey").reset_index(drop=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def append_corpus(sf_dir: str) -> pd.DataFrame:
     """Incremental-append lifecycle (skar's tip-following flush,
     skar_runner.rs:285-370): encode the first half of the corpus, append
@@ -842,6 +873,12 @@ QUERIES: dict[str, tuple] = {
         query_encoded_documents,
         "SELECT doc_id, lang, source, n_chars FROM documents "
         "WHERE (lang = 'en' AND n_chars >= 400) OR (source = 'src7' AND n_chars < 150)",
+    ),
+    "query_encoded_join": (
+        query_encoded_join,
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders "
+        "WHERE o_orderstatus = 'F' AND o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",
     ),
     "compact_corpus": (compact_corpus, None),
     "append_corpus": (append_corpus, None),

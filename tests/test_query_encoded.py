@@ -350,3 +350,66 @@ def test_budgeted_scan_zero_match_partition_no_livelock(encoded):
         if cur is None:
             break
     assert total == 0
+
+
+def test_semi_join_across_encoded_stores_prunes_b(ray_session, tmp_path):
+    """Cross-store key-set propagation (the reference's logs→tx→blocks
+    execution order, execution/mod.rs:21-65): the key set selected from
+    store A must PRUNE store B's partitions via manifest min/max before
+    any decode, and the joined result must match a plain computation."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from skar_ray.pipelines.encode_job import run_encode_job
+    from skar_ray.pipelines.query_encoded import query_encoded_semi_join
+
+    # store B: 20k rows, key strictly sorted ⇒ sharded partitions hold
+    # disjoint key ranges ⇒ an `in` over a narrow key set prunes
+    nb = 20_000
+    b_df = pd.DataFrame({
+        "k": np.arange(nb, dtype=np.int64),
+        "payload": [f"val-{i:06d}" for i in range(nb)],
+        "flag": (np.arange(nb) % 3 == 0),
+    })
+    b_src = str(tmp_path / "b.parquet")
+    pq.write_table(pa.Table.from_pandas(b_df), b_src, row_group_size=1000)
+    store_b = str(tmp_path / "store_b")
+    run_encode_job(b_src, store_b, mode="sharded", chunk_target_bytes=64 << 10, resume=False)
+
+    # store A: keys confined to one narrow range of B, behind a selector
+    a_df = pd.DataFrame({
+        "k": np.concatenate([np.arange(100, 140, dtype=np.int64),
+                             np.arange(15_000, 15_010, dtype=np.int64)]),
+        "seg": ["hot"] * 40 + ["cold"] * 10,
+    })
+    a_src = str(tmp_path / "a.parquet")
+    pq.write_table(pa.Table.from_pandas(a_df), a_src)
+    store_a = str(tmp_path / "store_a")
+    run_encode_job(a_src, store_a, mode="sharded", chunk_target_bytes=64 << 10, resume=False)
+
+    res = query_encoded_semi_join(
+        store_a, store_b, key_a="k",
+        dnf_a=[[("seg", "==", "hot")]],
+        columns_b=["k", "payload"],
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    want = b_df[b_df["k"].isin(range(100, 140))][["k", "payload"]].reset_index(drop=True)
+    assert res.equals(want)
+
+    # pruning assertion: the propagated key set must skip most B partitions
+    from skar_ray.pipelines.query_encoded import prune_partitions
+    from skar_ray.state import manifest as manifest_mod
+
+    manifests_b = manifest_mod.scan_manifests(store_b)
+    keys = list(range(100, 140))
+    kept = prune_partitions(manifests_b, [[("k", "in", keys)]])
+    assert len(manifests_b) >= 4, "need multiple B partitions for a pruning test"
+    assert len(kept) < len(manifests_b), (len(kept), len(manifests_b))
+
+    # empty key set: A filter matches nothing ⇒ typed empty result
+    empty = query_encoded_semi_join(
+        store_a, store_b, key_a="k",
+        dnf_a=[[("seg", "==", "no-such-segment")]],
+        columns_b=["k", "payload"],
+    )
+    assert empty.count() == 0
