@@ -76,12 +76,44 @@ def capped_pairs(ids: list, window: int = 8) -> list[tuple]:
 _BROADCAST_PAIR_LIMIT = 50_000
 
 
+def _dedup_pairs_distributed(cand: "ray.data.Dataset", a: str, b: str):
+    """Deduplicate candidate pairs WITHOUT collecting the pair list on
+    the driver (round-2's residual scale risk: a pathological near-dup-
+    everything corpus makes the raw pair list corpus-sized).  A hash-
+    partitioned groupby on the pair key co-locates every copy of (a, b);
+    each group emits one row.  Returns the materialized (object-store-
+    resident, never driver-resident) pair set plus its count."""
+
+    def first_of(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    mat = cand.groupby([a, b]).map_groups(first_of, batch_format="pandas").materialize()
+    return mat, mat.count()
+
+
+def _involved_ids(pairs: "ray.data.Dataset", a: str, b: str) -> np.ndarray:
+    """Distinct endpoint ids of the pair set, reduced per batch before
+    the (id-set-sized, not pair-set-sized) driver collection."""
+    import pyarrow.compute as pc
+
+    def uniq(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([
+            pc.cast(t.column(a), pa.int64()).combine_chunks(),
+            pc.cast(t.column(b), pa.int64()).combine_chunks(),
+        ])
+        return pa.table({"id": pc.unique(both)})
+
+    df = pairs.map_batches(uniq, batch_format="pyarrow").to_pandas()
+    return np.unique(df["id"].to_numpy()).astype(np.int64)
+
+
 def _pairs_with_feature(
-    pairs: pa.Table,
+    pairs,
     feats: "ray.data.Dataset",
     a: str = "doc_a",
     b: str = "doc_b",
     n_buckets: int = 16,
+    n_pairs: int | None = None,
 ) -> "ray.data.Dataset":
     """Attach a binary feature column to both endpoints of candidate
     pairs.  ``feats`` has columns (id, feature-bytes) in that order and
@@ -100,7 +132,12 @@ def _pairs_with_feature(
 
     from .joins import bucket_hash_join
 
-    if pairs.num_rows <= _BROADCAST_PAIR_LIMIT:
+    if isinstance(pairs, pa.Table):
+        n_pairs = pairs.num_rows
+        pairs = rd.from_arrow(pairs)
+    elif n_pairs is None:
+        n_pairs = pairs.count()
+    if n_pairs <= _BROADCAST_PAIR_LIMIT:
         fdf = feats.to_pandas()  # pair-involved features only (bounded)
         fmap_ref = ray.put(dict(zip(fdf.iloc[:, 0].astype("int64"), fdf.iloc[:, 1])))
 
@@ -121,7 +158,7 @@ def _pairs_with_feature(
                     "f_b": pa.array(fb, type=pa.large_binary()),
                 })
 
-        return rd.from_arrow(pairs).map_batches(
+        return pairs.map_batches(
             Attach, fn_constructor_args=(fmap_ref,), batch_format="pyarrow",
             concurrency=pool_size(),
         )
@@ -132,7 +169,13 @@ def _pairs_with_feature(
             batch_format="pyarrow",
         )
 
-    left1 = rd.from_arrow(pairs.rename_columns(["__fid", b]))
+    def _as_left(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"__fid": pc.cast(t.column(a), pa.int64()),
+                         b: pc.cast(t.column(b), pa.int64())})
+
+    left1 = pairs.map_batches(_as_left, batch_format="pyarrow")
     j1 = bucket_hash_join(left1, _feat_as("_a"), key="__fid", n_buckets=n_buckets)
 
     def _rekey(t: pa.Table) -> pa.Table:
@@ -244,13 +287,11 @@ def minhash_lsh_pairs(
         out = capped_pairs(g["doc_id"].tolist())
         return pd.DataFrame(out, columns=["doc_a", "doc_b"])
 
-    cand = (
-        buckets.groupby(["band_id", "band_hash"])
-        .map_groups(pairs_of, batch_format="pandas")
-        .to_pandas()          # PAIR set only — ≪ corpus
-        .drop_duplicates()
+    cand_ds, n_pairs = _dedup_pairs_distributed(
+        buckets.groupby(["band_id", "band_hash"]).map_groups(pairs_of, batch_format="pandas"),
+        "doc_a", "doc_b",
     )
-    if len(cand) == 0:
+    if n_pairs == 0:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64()),
                          "jaccard": pa.array([], type=pa.float64())})
@@ -258,7 +299,7 @@ def minhash_lsh_pairs(
     # exact verification, distributed: shingle ONLY the docs that appear
     # in a candidate pair (id set broadcast once per actor), then two
     # hash joins attach each endpoint's serialized shingle set
-    need_ids = np.unique(cand[["doc_a", "doc_b"]].to_numpy().ravel()).astype(np.int64)
+    need_ids = _involved_ids(cand_ds, "doc_a", "doc_b")
     ids_ref = ray.put(need_ids)
 
     class Shingler:
@@ -278,11 +319,7 @@ def minhash_lsh_pairs(
 
     feats = ds.map_batches(Shingler, fn_constructor_args=(ids_ref, k),
                            batch_format="pyarrow", concurrency=pool_size())
-    joined = _pairs_with_feature(
-        pa.table({"doc_a": pa.array(cand["doc_a"], type=pa.int64()),
-                  "doc_b": pa.array(cand["doc_b"], type=pa.int64())}),
-        feats,
-    )
+    joined = _pairs_with_feature(cand_ds, feats, n_pairs=n_pairs)
 
     def verify_batch(t: pa.Table) -> pa.Table:
         out_a, out_b, out_j = [], [], []
@@ -614,10 +651,9 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
         out = capped_pairs(g["vec_id"].tolist())
         return pd.DataFrame(out, columns=["vec_a", "vec_b"])
 
-    cand = (
-        buckets.groupby(["table", "bucket"]).map_groups(pairs_of, batch_format="pandas")
-        .to_pandas()          # PAIR set only
-        .drop_duplicates()
+    cand_ds, n_pairs = _dedup_pairs_distributed(
+        buckets.groupby(["table", "bucket"]).map_groups(pairs_of, batch_format="pandas"),
+        "vec_a", "vec_b",
     )
     empty = pa.table(
         {
@@ -626,10 +662,10 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
             "cosine": pa.array([], type=pa.float64()),
         }
     )
-    if len(cand) == 0:
+    if n_pairs == 0:
         return empty
 
-    need_ids = np.unique(cand[["vec_a", "vec_b"]].to_numpy().ravel()).astype(np.int64)
+    need_ids = _involved_ids(cand_ds, "vec_a", "vec_b")
     ids_ref = ray.put(need_ids)
 
     class UnitVecs:
@@ -654,11 +690,7 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
 
     feats = ds.map_batches(UnitVecs, fn_constructor_args=(ids_ref,),
                            batch_format="pyarrow", concurrency=pool_size())
-    joined = _pairs_with_feature(
-        pa.table({"vec_a": pa.array(cand["vec_a"], type=pa.int64()),
-                  "vec_b": pa.array(cand["vec_b"], type=pa.int64())}),
-        feats, a="vec_a", b="vec_b",
-    )
+    joined = _pairs_with_feature(cand_ds, feats, a="vec_a", b="vec_b", n_pairs=n_pairs)
 
     def verify_batch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
