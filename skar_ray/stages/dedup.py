@@ -369,50 +369,130 @@ class SimHasher:
         )
 
 
+_SIM_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _sim_block_masks(sizes=(11, 11, 11, 11, 10, 10)) -> list[int]:
+    """Contiguous bit-span masks partitioning the 64-bit simhash."""
+    masks, start = [], 0
+    for sz in sizes:
+        masks.append(((1 << sz) - 1) << start)
+        start += sz
+    assert start == 64
+    return masks
+
+
+def _split_mask(free_mask: int, parts: int) -> list[int]:
+    """Partition the set bits of `free_mask` into up to `parts` masks."""
+    bits = [i for i in range(64) if (free_mask >> i) & 1]
+    out, step = [], max(1, -(-len(bits) // parts))
+    for i in range(0, len(bits), step):
+        out.append(sum(1 << b for b in bits[i : i + step]))
+    return out
+
+
+def _sim_pairs_exhaustive(ids: np.ndarray, h: np.ndarray, free_mask: int,
+                          max_hamming: int, out: dict) -> None:
+    """EXHAUSTIVE pair extraction within one blocking bucket.
+
+    Invariant: every doc in the bucket agrees on all bits OUTSIDE
+    `free_mask`, so a qualifying pair's differing bits all lie inside
+    it.  Small buckets take the vectorised all-pairs path; oversized
+    buckets recursively re-block on `max_hamming+1` sub-masks of the
+    free bits (pigeonhole: ≤max_hamming differing bits leave ≥1
+    sub-mask bit-identical, so every qualifying pair co-locates in at
+    least one sub-bucket) — replacing round-2's non-exhaustive sorted
+    window.  Free bits strictly shrink per level, so recursion
+    terminates; a bucket whose free bits are exhausted (or whose hashes
+    are all equal) is an identical-hash clique and emits a hamming-0
+    star to its min id — exact, because hamming 0 is transitive and the
+    full pair set is the clique closure (emitting O(n²) rows for a
+    mass-identical corpus would make the OUTPUT quadratic)."""
+    n = len(ids)
+    if n <= MAX_BUCKET:
+        if n > 1:
+            x = (h[:, None] ^ h[None, :]).view(np.uint8).reshape(n, n, 8)
+            d = _SIM_POPCNT[x].sum(axis=2)
+            ia, ib = np.where(np.triu(d <= max_hamming, k=1))
+            for i, j, dist in zip(ids[ia].tolist(), ids[ib].tolist(), d[ia, ib].tolist()):
+                key = (min(i, j), max(i, j))
+                if key not in out:
+                    out[key] = int(dist)
+        return
+    if free_mask == 0 or (h == h[0]).all():
+        hub = int(ids.min())
+        for other in ids.tolist():
+            if int(other) != hub:
+                out.setdefault((hub, int(other)), 0)
+        return
+    # constrain away free bits the whole bucket agrees on: every pair
+    # trivially matches there, and recursing per sub-mask on a
+    # non-splitting mask would duplicate the entire bucket's work
+    varying = int(np.bitwise_or.reduce(h ^ h[0]))
+    free_mask &= varying
+    if free_mask == 0:
+        hub = int(ids.min())
+        for other in ids.tolist():
+            if int(other) != hub:
+                out.setdefault((hub, int(other)), 0)
+        return
+    for m in _split_mask(free_mask, max_hamming + 1):
+        keys = h & np.uint64(m)
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1], True])
+        for s_, e_ in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+            if e_ - s_ > 1:
+                sel = order[s_:e_]
+                _sim_pairs_exhaustive(ids[sel], h[sel], free_mask & ~m, max_hamming, out)
+
+
 def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> pa.Table:
-    """Pairs within hamming<=max_hamming via 4×16-bit band blocking
-    (any pair ≤3 bits apart shares ≥1 exact 16-bit band — pigeonhole)."""
+    """Pairs within hamming<=max_hamming via multi-index block keys
+    (the near-duplicate blocking of Manku et al., WWW 2007, public):
+    the 64-bit simhash splits into 6 blocks; each of the C(6,3)=20
+    3-block combinations forms an index whose key is ~32 bits.  With
+    ≤3 differing bits at most 3 blocks are touched, so ≥3 blocks match
+    and some indexed 3-combination is clean — pigeonhole-complete,
+    with a key space (~4G) that outgrows round-2's 65,536-per-band
+    ceiling.  Oversized buckets recurse on sub-masks of their free
+    bits instead of degrading to a non-exhaustive window
+    (`_sim_pairs_exhaustive`), so the pair set is exact up to
+    hamming-0 clique closure.  Cost: 20 tiny (index, key, id, hash)
+    rows per doc through the shuffle — rows, never documents."""
+    from itertools import combinations
+
     sigs = ds.map_batches(SimHasher, batch_format="pandas", concurrency=pool_size())
+    blocks = _sim_block_masks()
+    indexes = list(combinations(range(len(blocks)), 3))
+    combo_masks = [blocks[a] | blocks[b] | blocks[c] for a, b, c in indexes]
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         h = batch["simhash"].to_numpy().astype(np.uint64)
         rows = []
-        for band in range(4):
-            part = ((h >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
-            rows.append(pd.DataFrame({"band": band, "key": part, "doc_id": batch["doc_id"], "simhash": batch["simhash"]}))
+        for idx, cm in enumerate(combo_masks):
+            # view (not astype): reinterpret the masked uint64 as int64
+            # bit-identically — top-block keys exceed 2^63
+            key = (h & np.uint64(cm)).view(np.int64)
+            rows.append(pd.DataFrame({"band": idx, "key": key,
+                                      "doc_id": batch["doc_id"], "simhash": batch["simhash"]}))
         return pd.concat(rows, ignore_index=True)
 
     buckets = sigs.map_batches(explode, batch_format="pandas")
 
-    _POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
-
     def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
+        idx = int(g["band"].iloc[0])
         ids = g["doc_id"].to_numpy(dtype=np.int64)
         h = g["simhash"].to_numpy().astype(np.uint64)
-        out = []
-        # vectorised pairwise hamming in windows: xor matrix viewed as
-        # bytes, popcount LUT-summed — no per-pair Python.  Oversized
-        # buckets fall back to a sorted sliding window (see capped_pairs)
-        n = len(ids)
-        if n <= MAX_BUCKET:
-            if n > 1:
-                x = (h[:, None] ^ h[None, :]).view(np.uint8).reshape(n, n, 8)
-                d = _POPCNT[x].sum(axis=2)
-                ia, ib = np.where(np.triu(d <= max_hamming, k=1))
-                out = list(zip(ids[ia].tolist(), ids[ib].tolist(), d[ia, ib].tolist()))
-        else:
-            order = np.argsort(h, kind="stable")
-            ids, h = ids[order], h[order]
-            w = 8
-            for off in range(1, w + 1):
-                x = (h[:-off] ^ h[off:]).view(np.uint8).reshape(-1, 8)
-                d = _POPCNT[x].sum(axis=1)
-                hit = np.flatnonzero(d <= max_hamming)
-                for i in hit.tolist():
-                    a_, b_ = int(ids[i]), int(ids[i + off])
-                    out.append((min(a_, b_), max(a_, b_), int(d[i])))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+        found: dict = {}
+        free = 0xFFFFFFFFFFFFFFFF & ~combo_masks[idx]
+        _sim_pairs_exhaustive(ids, h, free, max_hamming, found)
+        if not found:
+            return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
+        arr = sorted((a_, b_, d_) for (a_, b_), d_ in found.items())
+        return pd.DataFrame(arr, columns=["doc_a", "doc_b", "hamming"])
 
     res = buckets.groupby(["band", "key"]).map_groups(pairs_of, batch_format="pandas").to_pandas()
     if len(res) == 0 or "doc_a" not in res.columns:

@@ -177,3 +177,65 @@ def test_ngram_jaccard_cross_band_pair(ray_session):
     pairs = dd.ngram_jaccard_pairs(ds, threshold=thr, k=5, group_col="lang").to_pandas()
     pset = set(zip(pairs["doc_a"], pairs["doc_b"]))
     assert (1, 2) in pset, pset
+
+
+def test_simhash_degenerate_bucket_exhaustive():
+    """A >MAX_BUCKET degenerate bucket must still yield its FULL pair
+    set (round-2's sorted-window fallback was explicitly
+    non-exhaustive).  600 distinct hashes differing only inside one
+    bucket's free bits; brute-force pairwise popcount is the oracle."""
+    rng = np.random.default_rng(99)
+    base = int(rng.integers(0, 2**63))
+    # free bits of index (0,1,2): blocks 3..5 (bits 33..63); restrict
+    # variation to 12 of them so plenty of pairs land within hamming<=3
+    var_bits = [33, 34, 35, 36, 44, 45, 46, 47, 54, 55, 56, 57]
+    seen, hashes = set(), []
+    while len(hashes) < 600:
+        k = int(rng.integers(0, 6))
+        bits = tuple(sorted(rng.choice(var_bits, size=k, replace=False))) if k else ()
+        h = base
+        for b in bits:
+            h ^= 1 << b
+        if h not in seen:
+            seen.add(h)
+            hashes.append(h)
+    h = np.array(hashes, dtype=np.uint64)
+    ids = np.arange(600, dtype=np.int64)
+    free = sum(1 << b for b in range(33, 64))
+    found: dict = {}
+    dd._sim_pairs_exhaustive(ids, h, free, 3, found)
+    # oracle: full pairwise hamming
+    x = (h[:, None] ^ h[None, :]).view(np.uint8).reshape(600, 600, 8)
+    d = dd._SIM_POPCNT[x].sum(axis=2)
+    ia, ib = np.where(np.triu(d <= 3, k=1))
+    want = {(int(ids[i]), int(ids[j])): int(d[i, j]) for i, j in zip(ia, ib)}
+    assert found == want, (len(found), len(want))
+
+
+def test_simhash_identical_clique_star():
+    """Free bits exhausted / all-equal hashes: a hamming-0 star to the
+    min id — exact via transitivity (clique closure)."""
+    h = np.full(700, 12345, dtype=np.uint64)
+    ids = np.arange(700, dtype=np.int64)
+    found: dict = {}
+    dd._sim_pairs_exhaustive(ids, h, 0xFF00000000000000, 3, found)
+    assert found == {(0, i): 0 for i in range(1, 700)}
+
+
+def test_simhash_multi_index_end_to_end_exhaustive(docs_ds):
+    """simhash_pairs output must equal brute-force pairwise hamming
+    over the SimHasher signatures (small corpus: every bucket is small,
+    so no clique-star approximation applies)."""
+    df = docs_ds.to_pandas()
+    hasher = dd.SimHasher()
+    sigs = {int(r.doc_id): hasher.simhash(r.text) for r in df.itertuples()}
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(sigs[a] ^ sigs[b]).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    pairs = dd.simhash_pairs(docs_ds, max_hamming=3).to_pandas()
+    got = {(int(a), int(b)): int(h) for a, b, h in zip(pairs.doc_a, pairs.doc_b, pairs.hamming)}
+    assert got == want
