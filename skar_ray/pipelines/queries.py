@@ -32,15 +32,27 @@ TS_HI = "2024-01-20 00:00:00"
 MKT_SET = ["BUILDING", "MACHINERY"]
 
 
-def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(sf_dir: str, table: str, columns=None, filter=None) -> "ray.data.Dataset":
+    """Column-pruned read; optional pyarrow dataset-expression `filter`
+    pushes the predicate into the Parquet scan so only row groups whose
+    statistics admit a match are read — the reference reads only
+    selected row groups of selected columns (data_provider.rs:121-183).
+    The scanner applies the filter exactly; callers keep their
+    map_batches re-filter as semantics documentation at zero cost."""
+    kwargs = {}
+    if filter is not None:
+        kwargs["filter"] = filter
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kwargs)
 
 
 def range_filter(sf_dir: str) -> "ray.data.Dataset":
     """Block-range filter analog: ts >= lo AND ts < hi, projected."""
+    import pyarrow.dataset as pads
+
     lo = pa.scalar(np.datetime64(TS_LO.replace(" ", "T"), "us"))
     hi = pa.scalar(np.datetime64(TS_HI.replace(" ", "T"), "us"))
-    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"],
+               filter=(pads.field("ts") >= lo) & (pads.field("ts") < hi))
     return ds.map_batches(
         lambda t: t.filter(pc.and_(pc.greater_equal(t["ts"], lo), pc.less(t["ts"], hi))),
         batch_format="pyarrow",
@@ -81,7 +93,11 @@ def in_set_pair(sf_dir: str) -> "ray.data.Dataset":
 
 def dnf_selection(sf_dir: str) -> "ray.data.Dataset":
     """OR of (AND of predicates) — the reference's selection semantics."""
-    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    import pyarrow.dataset as pads
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"],
+               filter=((pads.field("event_type") == "click") & (pads.field("value") > 10.0))
+               | ((pads.field("event_type") == "purchase") & (pads.field("value") < 5.0)))
 
     def mask(t: pa.Table) -> pa.Table:
         m1 = pc.and_(pc.equal(t["event_type"], "click"), pc.greater(t["value"], 10.0))
@@ -364,8 +380,11 @@ def join_agg_segments(sf_dir: str) -> pd.DataFrame:
 def cursor_page(sf_dir: str) -> "ray.data.Dataset":
     """Cursor-paging analog (next_block, handler.rs:252-258): ordered page
     after a cursor position."""
+    import pyarrow.dataset as pads
+
     lo = pa.scalar(np.datetime64(TS_LO.replace(" ", "T"), "us"))
-    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"],
+               filter=pads.field("ts") >= lo)
     return (
         ds.map_batches(lambda t: t.filter(pc.greater_equal(t["ts"], lo)), batch_format="pyarrow")
         .sort(["ts", "event_id"])
