@@ -4,9 +4,13 @@ Ray Data has no event-time windows; the reference is a micro-batch
 tip-follower, not a window engine either (SURVEY §2.8).  We implement
 the windows a training-data pipeline needs as
 ``groupby(key).map_groups`` over per-key ts-sorted groups — the
-documented pattern for stream-shaped workloads.  Partitioning
-assumption (stated per the §2 custom-operator rule): all rows of one
-key fit one group task; keys are the parallelism unit.
+documented pattern for stream-shaped workloads.  Hot-key safety: the
+session / sliding / asof operators default to TIME-SALTED groups
+((key, floor(ts, salt_freq)) with an exact boundary merge over bucket
+summaries), so a key holding half the corpus splits across buckets
+instead of OOMing one task; ``salt_freq=None`` restores
+single-task-per-key.  Tumbling pre-aggregates per batch and never had
+the assumption.
 """
 
 from __future__ import annotations
@@ -55,21 +59,83 @@ def tumbling_window_counts(ds: "ray.data.Dataset", freq: str = "D") -> pd.DataFr
     return res
 
 
-def session_windows(ds: "ray.data.Dataset", gap_minutes: int = 60) -> pd.DataFrame:
+def session_windows(ds: "ray.data.Dataset", gap_minutes: int = 60,
+                    salt_freq: str | None = "1D") -> pd.DataFrame:
     """Per-user session count + total events, sessions split at
-    inactivity gaps > ``gap_minutes`` (classic sessionisation)."""
+    inactivity gaps > ``gap_minutes`` (classic sessionisation).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        n_sessions = int(gaps.sum()) + 1 if len(g) else 0
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(g)]}
+    Hot-key safety (the round-2 "one user's full history in one task"
+    ceiling, now lifted): groups are salted by (user, floor(ts,
+    salt_freq)), so a user holding half the corpus splits across time
+    buckets; each bucket emits (n_events, n_sessions, first_ts,
+    last_ts) and a second per-user merge — over BUCKET SUMMARIES, one
+    tiny row per (user, bucket), never events — subtracts one session
+    for every consecutive-bucket boundary whose gap is within the
+    threshold.  EXACT: sessions inside a bucket are counted locally,
+    and a session spanning k bucket boundaries is counted k+1 times
+    locally and merged k times.  ``salt_freq=None`` restores the
+    single-task-per-user path."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    if salt_freq is None:
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("ts")
+            gaps = g["ts"].diff() > gap
+            n_sessions = int(gaps.sum()) + 1 if len(g) else 0
+            return pd.DataFrame(
+                {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(g)]}
+            )
+
+        res = (
+            ds.groupby("user_id")
+            .map_groups(per_user, batch_format="pandas")
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
         )
+        return res.astype({"user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
+
+    def bucketed(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(__bkt=batch["ts"].dt.floor(salt_freq))
+
+    def per_user_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "__bkt": pd.Series(dtype="datetime64[us]"),
+                                 "n_events": pd.Series(dtype="int64"),
+                                 "n_sessions": pd.Series(dtype="int64"),
+                                 "first_ts": pd.Series(dtype="datetime64[us]"),
+                                 "last_ts": pd.Series(dtype="datetime64[us]")})
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff() > gap
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]], "__bkt": [g["__bkt"].iloc[0]],
+            "n_events": [len(g)], "n_sessions": [int(gaps.sum()) + 1],
+            "first_ts": [g["ts"].iloc[0]], "last_ts": [g["ts"].iloc[-1]],
+        })
+
+    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n_sessions": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64")})
+        g = g.sort_values("__bkt")
+        merged = 0
+        if len(g) > 1:
+            boundary = g["first_ts"].to_numpy()[1:] - g["last_ts"].to_numpy()[:-1]
+            merged = int((boundary <= gap.to_timedelta64()).sum())
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": [int(g["n_sessions"].sum()) - merged],
+            "n_events": [int(g["n_events"].sum())],
+        })
 
     res = (
-        ds.groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        ds.map_batches(bucketed, batch_format="pandas")
+        .groupby(["user_id", "__bkt"])
+        .map_groups(per_user_bucket, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(merge_user, batch_format="pandas")
         .to_pandas()
         .sort_values("user_id")
         .reset_index(drop=True)
@@ -150,63 +216,223 @@ def streaming_tumbling_counts(ds: "ray.data.Dataset", freq: str = "D",
 
 
 def asof_join_events(ds: "ray.data.Dataset", left_type: str = "purchase",
-                     right_type: str = "click") -> pd.DataFrame:
+                     right_type: str = "click",
+                     salt_freq: str | None = "1D") -> pd.DataFrame:
     """As-of join inside the ordered log: for every `left_type` event,
     the most recent `right_type` event of the SAME user at ts <= left.ts
     (inner semantics — lefts with no prior right are dropped).
 
-    Pattern per the custom-operator rule: bucket by key (user), sort by
-    ts within the group, ``pd.merge_asof`` per group.  Partitioning
-    assumption: one user's events fit one group task.
-    """
+    Hot-key safety: groups are salted by (user, floor(ts, salt_freq)).
+    Each bucket asof-joins its own lefts against its own rights
+    (``pd.merge_asof``); lefts with no in-bucket predecessor are
+    resolved in a second per-user pass against the bucket summaries
+    (one max-right-ts row per (user, bucket) — any right in an earlier
+    bucket precedes every left of a later bucket, and bucket right
+    maxima are time-ordered, so the carry-forward is the summary of
+    the latest earlier bucket that has rights).  The second pass moves
+    only unmatched lefts (lefts before their bucket's first right) and
+    summaries, never a user's event history.  ``salt_freq=None``
+    restores single-task-per-user."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["event_type"] == left_type].sort_values(["ts", "event_id"])
-        right = g[g["event_type"] == right_type].sort_values(["ts", "event_id"])
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
-                                 "user_id": pd.Series(dtype="int64"),
-                                 "last_right_ts": pd.Series(dtype="datetime64[us]")})
+    def asof_of(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         m = pd.merge_asof(
             left[["event_id", "ts"]],
             right[["ts"]].rename(columns={"ts": "last_right_ts"}),
             left_on="ts", right_on="last_right_ts", direction="backward",
-        ).dropna(subset=["last_right_ts"])
-        m["user_id"] = g["user_id"].iloc[0]
-        return m[["event_id", "user_id", "last_right_ts"]]
+        )
+        m["user_id"] = left["user_id"].iloc[0] if len(left) else None
+        return m
 
+    if salt_freq is None:
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            left = g[g["event_type"] == left_type].sort_values(["ts", "event_id"])
+            right = g[g["event_type"] == right_type].sort_values(["ts", "event_id"])
+            if len(left) == 0 or len(right) == 0:
+                return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                     "user_id": pd.Series(dtype="int64"),
+                                     "last_right_ts": pd.Series(dtype="datetime64[us]")})
+            m = asof_of(left, right).dropna(subset=["last_right_ts"])
+            m["user_id"] = g["user_id"].iloc[0]
+            return m[["event_id", "user_id", "last_right_ts"]]
+
+        res = (
+            ds.groupby("user_id")
+            .map_groups(per_user, batch_format="pandas")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        return res.astype({"event_id": "int64", "user_id": "int64"})
+
+    def bucketed(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"].isin([left_type, right_type])]
+        return b.assign(__bkt=b["ts"].dt.floor(salt_freq))
+
+    _EMPTY = pd.DataFrame({
+        "kind": pd.Series(dtype="object"),
+        "event_id": pd.Series(dtype="int64"),
+        "user_id": pd.Series(dtype="int64"),
+        "__bkt": pd.Series(dtype="datetime64[us]"),
+        "last_right_ts": pd.Series(dtype="datetime64[us]"),
+    })
+
+    def per_user_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return _EMPTY
+        left = g[g["event_type"] == left_type].sort_values(["ts", "event_id"])
+        right = g[g["event_type"] == right_type].sort_values(["ts", "event_id"])
+        uid = int(g["user_id"].iloc[0])
+        bkt = g["__bkt"].iloc[0]
+        rows = []
+        if len(left):
+            if len(right):
+                m = asof_of(left, right)
+                matched = m.dropna(subset=["last_right_ts"])
+                rows.append(pd.DataFrame({
+                    "kind": "m", "event_id": matched["event_id"].astype("int64"),
+                    "user_id": uid, "__bkt": bkt,
+                    "last_right_ts": matched["last_right_ts"],
+                }))
+                un = m[m["last_right_ts"].isna()]
+            else:
+                un = left
+            if len(un):
+                rows.append(pd.DataFrame({
+                    "kind": "u", "event_id": un["event_id"].astype("int64"),
+                    "user_id": uid, "__bkt": bkt, "last_right_ts": pd.NaT,
+                }))
+        if len(right):
+            rows.append(pd.DataFrame({
+                "kind": "s", "event_id": -1, "user_id": uid, "__bkt": bkt,
+                "last_right_ts": [right["ts"].iloc[-1]],
+            }))
+        return pd.concat(rows, ignore_index=True) if rows else _EMPTY
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # receives ONLY unmatched lefts + bucket summaries for one user
+        # (matched rows bypass this groupby so a hot user's RESULTS never
+        # re-concentrate in one task)
+        out_empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                  "user_id": pd.Series(dtype="int64"),
+                                  "last_right_ts": pd.Series(dtype="datetime64[us]")})
+        u = g[g["kind"] == "u"]
+        s_ = g[g["kind"] == "s"].sort_values("__bkt")
+        if len(u) == 0 or len(s_) == 0:
+            return out_empty
+        sb = s_["__bkt"].to_numpy()
+        sr = s_["last_right_ts"].to_numpy()
+        pos = np.searchsorted(sb, u["__bkt"].to_numpy(), side="left") - 1
+        ok = pos >= 0
+        if not ok.any():
+            return out_empty
+        return pd.DataFrame({
+            "event_id": u["event_id"].to_numpy()[ok],
+            "user_id": u["user_id"].to_numpy()[ok],
+            "last_right_ts": sr[pos[ok]],
+        })
+
+    part = (
+        ds.map_batches(bucketed, batch_format="pandas")
+        .groupby(["user_id", "__bkt"])
+        .map_groups(per_user_bucket, batch_format="pandas")
+        .materialize()  # consumed twice below; results-sized, distributed
+    )
+    matched = part.map_batches(
+        lambda b: b[b["kind"] == "m"][["event_id", "user_id", "last_right_ts"]],
+        batch_format="pandas",
+    )
+    resolved = (
+        part.map_batches(lambda b: b[b["kind"] != "m"], batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(resolve, batch_format="pandas")
+    )
     res = (
-        ds.groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        matched.union(resolved)
         .to_pandas()
         .sort_values("event_id")
         .reset_index(drop=True)
     )
-    return res.astype({"event_id": "int64", "user_id": "int64"})
+    return res.astype({"event_id": "int64", "user_id": "int64",
+                       "last_right_ts": "datetime64[us]"})
 
 
-def sliding_window_peak(ds: "ray.data.Dataset", window: str = "6h", step_hours: int = 1) -> pd.DataFrame:
+def sliding_window_peak(ds: "ray.data.Dataset", window: str = "6h", step_hours: int = 1,
+                        salt_freq: str | None = "1D") -> pd.DataFrame:
     """Per user: the peak event count over sliding windows of `window`
     advancing by `step_hours` (late-data tolerant: windows are derived
-    from event time, not arrival order). Returns (user_id, peak_count)."""
+    from event time, not arrival order). Returns (user_id, peak_count).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().to_numpy()
-        if len(ts) == 0:
-            return pd.DataFrame({"user_id": [], "peak_count": []})
-        w = np.timedelta64(int(pd.Timedelta(window).total_seconds()), "s")
-        # two-pointer sweep: windows anchored at each event
+    Hot-key safety: groups are salted by (user, floor(ts, salt_freq))
+    with ``salt_freq >= window`` enforced; events in the trailing
+    `window` of each bucket REPLICATE into the next bucket as
+    non-anchoring context, so a window straddling the boundary is
+    counted exactly once (at its anchor's bucket) with its full
+    content.  The per-user reduce runs over one peak row per (user,
+    bucket).  ``salt_freq=None`` restores single-task-per-user."""
+    w = np.timedelta64(int(pd.Timedelta(window).total_seconds()), "s")
+
+    def sweep(ts: np.ndarray, anchors: np.ndarray) -> int:
         peak = 0
         j = 0
         for i in range(len(ts)):
             while ts[i] - ts[j] >= w:
                 j += 1
-            peak = max(peak, i - j + 1)
+            if anchors[i]:
+                peak = max(peak, i - j + 1)
+        return peak
+
+    if salt_freq is None:
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            ts = g["ts"].sort_values().to_numpy()
+            if len(ts) == 0:
+                return pd.DataFrame({"user_id": [], "peak_count": []})
+            peak = sweep(ts, np.ones(len(ts), dtype=bool))
+            return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "peak_count": [peak]})
+
+        res = (
+            ds.groupby("user_id")
+            .map_groups(per_user, batch_format="pandas")
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        return res.astype({"user_id": "int64", "peak_count": "int64"})
+
+    if pd.Timedelta(salt_freq) < pd.Timedelta(window):
+        raise ValueError("salt_freq must be >= window so context spans one boundary only")
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        bkt = batch["ts"].dt.floor(salt_freq)
+        own = pd.DataFrame({"user_id": batch["user_id"], "__bkt": bkt,
+                            "ts": batch["ts"], "anchor": True})
+        bkt_end = bkt + pd.Timedelta(salt_freq)
+        tail = batch["ts"] >= (bkt_end - pd.Timedelta(window))
+        ctx = pd.DataFrame({"user_id": batch.loc[tail, "user_id"],
+                            "__bkt": bkt_end[tail], "ts": batch.loc[tail, "ts"],
+                            "anchor": False})
+        return pd.concat([own, ctx], ignore_index=True)
+
+    def per_user_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "peak_count": pd.Series(dtype="int64")})
+        g = g.sort_values(["ts", "anchor"])
+        peak = sweep(g["ts"].to_numpy(), g["anchor"].to_numpy())
         return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "peak_count": [peak]})
 
+    def max_user(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "peak_count": pd.Series(dtype="int64")})
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "peak_count": [int(g["peak_count"].max())]})
+
     res = (
-        ds.groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby(["user_id", "__bkt"])
+        .map_groups(per_user_bucket, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(max_user, batch_format="pandas")
         .to_pandas()
         .sort_values("user_id")
         .reset_index(drop=True)

@@ -187,3 +187,51 @@ def test_validate_schema():
     generic_bad = pa.schema([("s", pa.list_(pa.list_(pa.int64())))])
     with pt.raises(ValueError, match="unsupported"):
         validate_schema(generic_bad)
+
+
+def test_windows_hot_key_salted_paths_exact(ray_session):
+    """One synthetic user holding 50% of all events (the round-2
+    hot-key ceiling): the time-salted session / sliding / asof paths
+    must return exactly what the single-task-per-user paths return —
+    including sessions and windows that straddle salt-bucket
+    boundaries."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from skar_ray.stages import windows as W
+
+    rng = np.random.default_rng(4242)
+    n_hot, n_cold_users, n_cold_each = 4000, 40, 100
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    eid = 0
+    # hot user 999: events spread over 10 days incl. bursts that cross
+    # midnight (salt="1D" boundaries) within the session gap and window
+    t = base
+    for i in range(n_hot):
+        # mixture: mostly small steps (minutes), occasional > gap jumps
+        step = int(rng.choice([120, 600, 1800, 9000], p=[0.5, 0.3, 0.15, 0.05]))
+        t = t + np.timedelta64(step, "s")
+        rows.append((eid, t, 999, "click" if rng.random() < 0.6 else "purchase",
+                     float(rng.random() * 20)))
+        eid += 1
+    for u in range(n_cold_users):
+        t = base + np.timedelta64(int(rng.integers(0, 86_400)), "s")
+        for i in range(n_cold_each):
+            t = t + np.timedelta64(int(rng.choice([300, 5400])), "s")
+            rows.append((eid, t, u, "click" if rng.random() < 0.5 else "purchase",
+                         float(rng.random() * 20)))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=7).reset_index(drop=True))
+
+    for fn, kw in [
+        (W.session_windows, dict(gap_minutes=60)),
+        (W.sliding_window_peak, dict(window="6h")),
+        (W.asof_join_events, dict(left_type="purchase", right_type="click")),
+    ]:
+        salted = fn(ds, salt_freq="1D", **kw)
+        unsalted = fn(ds, salt_freq=None, **kw)
+        pd.testing.assert_frame_equal(salted, unsalted), fn.__name__
