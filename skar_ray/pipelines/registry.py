@@ -317,9 +317,11 @@ def compact_corpus(sf_dir: str) -> pd.DataFrame:
 
 
 def encode_corpus_flagship(sf_dir: str) -> pd.DataFrame:
-    """Flagship: seeded code corpus → salted-partition encode (grouped
-    mode, the full shuffle path) → verified decode → per-partition
-    lineage summary.  Deterministic but not SQL-expressible."""
+    """Flagship: seeded code corpus → salted-partition encode (hashed
+    mode — the barrier-free hash exchange, same plan the bench runs;
+    grouped mode stays the Dataset-native fallback, bit-identity-tested
+    in test_encode_job) → verified decode → per-partition lineage
+    summary.  Deterministic but not SQL-expressible."""
     from ..corpus import ensure_corpus, rows_for_sf, sf_from_dir
     from .decode_job import run_verify_job
     from .encode_job import run_encode_job
@@ -333,6 +335,7 @@ def encode_corpus_flagship(sf_dir: str) -> pd.DataFrame:
             out,
             target_partition_bytes=16 << 20,
             chunk_target_bytes=8 << 20,
+            mode="hashed",
         )
         v = run_verify_job(os.path.join(d, "corpus.parquet"), out)
         assert v["rows_match"] and v["digests_verified"]

@@ -35,7 +35,20 @@ class DecoderActor:
         self.apply_dnf = apply_dnf  # exact full-DNF row mask on the encoded form
         self.tag_partition = tag_partition  # append __pid (budgeted-scan cursor)
         assert not (verify and (encoded_filter or apply_dnf)), "digest verify needs full partitions"
-        self._header_cache: dict[str, tuple[dict, int]] = {}
+        # (mtime_ns, size, header, blob_start) per path — parsed once per
+        # actor lifetime, stat-guarded so an atomically-replaced container
+        # (append/compact rewrite the same filename) never serves stale
+        # chunk offsets
+        self._header_cache: dict[str, tuple[int, int, dict, int]] = {}
+
+    def _header_of(self, path: str) -> tuple[dict, int]:
+        st = os.stat(path)
+        hit = self._header_cache.get(path)
+        if hit is not None and hit[0] == st.st_mtime_ns and hit[1] == st.st_size:
+            return hit[2], hit[3]
+        header, blob_start = container.read_header(path)
+        self._header_cache[path] = (st.st_mtime_ns, st.st_size, header, blob_start)
+        return header, blob_start
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tables = []
@@ -45,6 +58,7 @@ class DecoderActor:
             t = container.read_container(
                 path, columns=self.columns, dnf=self.dnf,
                 encoded_filter=self.encoded_filter, apply_dnf=self.apply_dnf,
+                header_info=self._header_of(path),
             )
             if self.verify:
                 expect = batch.column("content_sha256")[i].as_py()

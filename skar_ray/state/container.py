@@ -280,7 +280,8 @@ def _chunk_stats_of(ch) -> "callable":
 def read_container(path: str, columns: list[str] | None = None,
                    chunk_indices: list[int] | None = None,
                    dnf=None, encoded_filter: tuple[str, list] | None = None,
-                   apply_dnf: bool = False) -> pa.Table:
+                   apply_dnf: bool = False,
+                   header_info: tuple[dict, int] | None = None) -> pa.Table:
     """Decode a container back to a pyarrow Table (projected, chunk-pruned).
 
     Mirrors the reference's projected + row-group-pruned Parquet reader
@@ -296,7 +297,7 @@ def read_container(path: str, columns: list[str] | None = None,
     import numpy as np
     import pyarrow.compute as pc
 
-    header, blob_start = read_header(path)
+    header, blob_start = header_info if header_info is not None else read_header(path)
     schema_cols = [name for name, _ in header["schema"]]
     want = columns or schema_cols
     chunks = header["chunks"]
