@@ -594,8 +594,19 @@ def multimodal_frames(sf_dir: str) -> pd.DataFrame:
 
 
 def multimodal_audio(sf_dir: str) -> pd.DataFrame:
+    """Full audio feature extraction (REAL stdlib-wave decode →
+    duration + RMS energy), SQL-verified against the closed form of the
+    synthesized sine: the oracle recomputes every int16 sample as
+    trunc(sin(2πfk/sr)·12000) in DuckDB and aggregates the identical
+    RMS — agreement proves the WAV write + parse + energy path
+    bit-for-bit."""
+    import pyarrow.compute as _pc
+
     ds = multimodal.media_dataset_from_documents(sf_dir)
-    out = ds.map_batches(
+    audio = ds.map_batches(
+        lambda t: t.filter(_pc.equal(t.column("kind"), "audio")), batch_format="pyarrow"
+    )
+    out = audio.map_batches(
         multimodal.AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=pool_size()
     ).to_pandas()
     return out.sort_values("media_id").reset_index(drop=True)
@@ -931,10 +942,43 @@ QUERIES: dict[str, tuple] = {
         dedup_exact,
         "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
     ),
-    "dedup_minhash": (dedup_minhash, None),
+    "dedup_minhash": (
+        dedup_minhash,
+        # EXACT oracle: LSH banding at 16 bands × 8 rows has recall 1.0
+        # on this corpus's >=0.8 pairs (verified: identical sets), and
+        # the engine verifies candidates exactly, so the output equals
+        # the full char-5-shingle Jaccard pair set DuckDB derives from
+        # scratch.
+        "WITH sh AS ("
+        " SELECT DISTINCT doc_id, substring(text, CAST(gs.i AS INTEGER), 5) AS g"
+        " FROM documents CROSS JOIN generate_series(1, 8192) gs(i)"
+        " WHERE gs.i <= length(text) - 4),"
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i"
+        " FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard "
+        "FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b "
+        "WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8",
+    ),
     "dedup_minhash_keep": (dedup_minhash_keep, None),
     "dedup_simhash": (dedup_simhash, None),
-    "dedup_ngram": (dedup_ngram, None),
+    "dedup_ngram": (
+        dedup_ngram,
+        # EXACT oracle: the lang + shingle-count-band blocking is
+        # provably complete (docstring), buckets are uncapped at this
+        # scale, so the output is the full same-lang Jaccard pair set.
+        "WITH sh AS ("
+        " SELECT DISTINCT doc_id, lang, substring(text, CAST(gs.i AS INTEGER), 5) AS g"
+        " FROM documents CROSS JOIN generate_series(1, 8192) gs(i)"
+        " WHERE gs.i <= length(text) - 4),"
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i"
+        " FROM sh a JOIN sh b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id"
+        " GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard "
+        "FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b "
+        "WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5",
+    ),
     "dedup_embedding": (dedup_embedding, None),
     "dedup_embedding_exact": (
         dedup_embedding_exact,
@@ -985,5 +1029,19 @@ QUERIES: dict[str, tuple] = {
         "CAST(gs.i * GREATEST(1, strlen(d.text) // 4) AS BIGINT) AS byte_offset "
         "FROM documents d, generate_series(0, 3) gs(i) WHERE d.doc_id % 3 = 2",
     ),
-    "multimodal_audio": (multimodal_audio, None),
+    "multimodal_audio": (
+        multimodal_audio,
+        # closed form of the synthesized sine: n = 800+(id%32)*100
+        # samples of trunc(sin(2*pi*f*k/16000)*12000), f = 220+id%440 —
+        # bit-identical duration and RMS derived without touching WAV
+        "WITH audio AS ("
+        " SELECT doc_id AS media_id, 800 + (doc_id % 32) * 100 AS n,"
+        " 220.0 + (doc_id % 440) AS freq FROM documents WHERE doc_id % 3 = 1),"
+        "samples AS (SELECT media_id, n,"
+        " trunc(sin(2 * pi() * freq * CAST(gs.k AS DOUBLE) / 16000.0) * 12000.0) AS s"
+        " FROM audio CROSS JOIN generate_series(0, 3999) gs(k) WHERE gs.k < n) "
+        "SELECT media_id, CAST(any_value(n) AS DOUBLE) / 16000.0 AS duration_s,"
+        " sqrt(avg(s * s)) AS rms_energy "
+        "FROM samples GROUP BY media_id",
+    ),
 }
