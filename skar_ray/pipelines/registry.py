@@ -494,7 +494,8 @@ def dedup_embedding(sf_dir: str) -> pa.Table:
             planted[col] = None
     extra = ray.data.from_pandas(planted[[c for c in ["vec_id", "embedding"]]])
     ds = ds.select_columns(["vec_id", "embedding"]).union(extra)
-    return dedup.embedding_dup_pairs(ds, threshold=0.95)
+    dim = len(np.asarray(base["embedding"].iloc[0]))
+    return dedup.embedding_dup_pairs(ds, threshold=0.95, dim=dim)
 
 
 def dedup_embedding_exact(sf_dir: str) -> pa.Table:

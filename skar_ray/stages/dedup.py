@@ -56,6 +56,8 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 # ------------------------------------------------- shared pair machinery
 
+from .groups import bucketed_group_apply  # noqa: E402  (shared two-level exchange)
+
 MAX_BUCKET = 512  # all-pairs cap per LSH/blocking bucket
 
 
@@ -92,53 +94,6 @@ def _dedup_pairs_distributed(cand: "ray.data.Dataset", a: str, b: str):
         lambda df: df.drop_duplicates(), batch_format="pandas"
     ).materialize()
     return mat, mat.count()
-
-
-def bucketed_group_apply(ds: "ray.data.Dataset", keys: list[str], fn,
-                         n_buckets: int | None = None) -> "ray.data.Dataset":
-    """Two-level exchange for per-fine-group UDFs over TINY rows: hash
-    the fine group key into ``n_buckets`` coarse buckets (one
-    ``Dataset.groupby`` on a small-cardinality int key), then a LOCAL
-    vectorised pandas groupby inside each bucket applies ``fn`` per
-    fine group.  ``Dataset.groupby`` directly on the fine key spends
-    its time on per-group task/DataFrame overhead — LSH bucketing
-    yields millions of mostly-singleton groups (measured: 4.1 s of a
-    10 s dedup pipeline at 80k groups); the coarse exchange moves the
-    same rows once and cuts UDF invocations to ``n_buckets``.
-    Same-key rows still co-locate (hash of the full fine key), so
-    results are identical."""
-    if n_buckets is None:
-        import ray as _ray
-
-        n_buckets = max(16, 2 * int(_ray.cluster_resources().get("CPU", 8)))
-
-    P = np.uint64(0x9E3779B97F4A7C15)
-
-    def coarse(df: pd.DataFrame) -> pd.DataFrame:
-        h = np.zeros(len(df), dtype=np.uint64)
-        for k in keys:
-            col = df[k]
-            if col.dtype == object:
-                kv = pd.util.hash_array(col.to_numpy()).astype(np.uint64)
-            else:
-                kv = col.to_numpy().astype(np.uint64, copy=False)
-            h = (h ^ kv) * P
-        return df.assign(__cb=(h % np.uint64(n_buckets)).astype(np.int64))
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return fn(g)
-        outs = [fn(sub) for _, sub in g.groupby(keys, sort=True)]
-        outs = [o for o in outs if len(o)]
-        if not outs:
-            return fn(g.iloc[0:0])
-        return pd.concat(outs, ignore_index=True)
-
-    return (
-        ds.map_batches(coarse, batch_format="pandas")
-        .groupby("__cb")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
 
 
 def _involved_ids(pairs: "ray.data.Dataset", a: str, b: str) -> np.ndarray:
@@ -758,7 +713,8 @@ def dedup_keep_list(ds: "ray.data.Dataset", pairs: pd.DataFrame,
 # ------------------------------------------------------ embedding cosine
 
 def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
-                        n_tables: int = 8, n_planes: int = 6, seed: int = 42) -> pa.Table:
+                        n_tables: int = 8, n_planes: int = 6, seed: int = 42,
+                        dim: int | None = None) -> pa.Table:
     """Near-dup pairs by cosine >= threshold.
 
     Multi-table random-hyperplane LSH (``n_tables`` independent sign
@@ -768,8 +724,10 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
     candidate pairs are then verified EXACTLY by attaching each
     endpoint's unit vector via two distributed hash joins.
     """
-    first = ds.take(1)[0]
-    dim = len(first["embedding"])
+    if dim is None:
+        # one limit-1 plan execution; callers that know the
+        # dimensionality should pass it and skip this
+        dim = len(ds.take(1)[0]["embedding"])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables, dim, n_planes))
     planes_ref = ray.put(planes)

@@ -20,6 +20,8 @@ import pandas as pd
 
 import ray.data
 
+from .groups import bucketed_group_apply
+
 
 def tumbling_window_counts(ds: "ray.data.Dataset", freq: str = "D") -> pd.DataFrame:
     """Per (user_id, day) tumbling window: row count + min/max value.
@@ -48,9 +50,9 @@ def tumbling_window_counts(ds: "ray.data.Dataset", freq: str = "D") -> pd.DataFr
         })
 
     res = (
-        ds.map_batches(partials, batch_format="pandas")
-        .groupby(["user_id", "day"])
-        .map_groups(combine, batch_format="pandas")
+        bucketed_group_apply(
+            ds.map_batches(partials, batch_format="pandas"), ["user_id", "day"], combine
+        )
         .to_pandas()
         .sort_values(["user_id", "day"])
         .reset_index(drop=True)
@@ -131,11 +133,13 @@ def session_windows(ds: "ray.data.Dataset", gap_minutes: int = 60,
         })
 
     res = (
-        ds.map_batches(bucketed, batch_format="pandas")
-        .groupby(["user_id", "__bkt"])
-        .map_groups(per_user_bucket, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(merge_user, batch_format="pandas")
+        bucketed_group_apply(
+            bucketed_group_apply(
+                ds.map_batches(bucketed, batch_format="pandas"),
+                ["user_id", "__bkt"], per_user_bucket,
+            ),
+            ["user_id"], merge_user,
+        )
         .to_pandas()
         .sort_values("user_id")
         .reset_index(drop=True)
@@ -332,19 +336,19 @@ def asof_join_events(ds: "ray.data.Dataset", left_type: str = "purchase",
         })
 
     part = (
-        ds.map_batches(bucketed, batch_format="pandas")
-        .groupby(["user_id", "__bkt"])
-        .map_groups(per_user_bucket, batch_format="pandas")
+        bucketed_group_apply(
+            ds.map_batches(bucketed, batch_format="pandas"),
+            ["user_id", "__bkt"], per_user_bucket,
+        )
         .materialize()  # consumed twice below; results-sized, distributed
     )
     matched = part.map_batches(
         lambda b: b[b["kind"] == "m"][["event_id", "user_id", "last_right_ts"]],
         batch_format="pandas",
     )
-    resolved = (
-        part.map_batches(lambda b: b[b["kind"] != "m"], batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(resolve, batch_format="pandas")
+    resolved = bucketed_group_apply(
+        part.map_batches(lambda b: b[b["kind"] != "m"], batch_format="pandas"),
+        ["user_id"], resolve,
     )
     res = (
         matched.union(resolved)
@@ -428,11 +432,13 @@ def sliding_window_peak(ds: "ray.data.Dataset", window: str = "6h", step_hours: 
                              "peak_count": [int(g["peak_count"].max())]})
 
     res = (
-        ds.map_batches(explode, batch_format="pandas")
-        .groupby(["user_id", "__bkt"])
-        .map_groups(per_user_bucket, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(max_user, batch_format="pandas")
+        bucketed_group_apply(
+            bucketed_group_apply(
+                ds.map_batches(explode, batch_format="pandas"),
+                ["user_id", "__bkt"], per_user_bucket,
+            ),
+            ["user_id"], max_user,
+        )
         .to_pandas()
         .sort_values("user_id")
         .reset_index(drop=True)
