@@ -650,7 +650,7 @@ def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
         rows = []
         for et, g in batch.groupby("event_type"):
             h = HyperLogLog(12)
-            h.add_many([int(u).to_bytes(8, "big") for u in g["user_id"]])
+            h.add_ints(g["user_id"].to_numpy())
             rows.append((et, h.serialize().hex()))
         return pd.DataFrame(rows, columns=["event_type", "sketch"])
 

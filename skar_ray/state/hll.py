@@ -32,6 +32,21 @@ class HyperLogLog:
             [int.from_bytes(hashlib.blake2b(v, digest_size=8).digest(), "big") for v in values],
             dtype=np.uint64,
         )
+        self._update(h)
+
+    def add_ints(self, values: "np.ndarray") -> None:
+        """Vectorised integer path: splitmix64 finalizer (public
+        constant-avalanche mix) instead of a per-value blake2b Python
+        loop — same register semantics, no per-row Python."""
+        if len(values) == 0:
+            return
+        v = np.asarray(values).astype(np.uint64)
+        v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        v ^= v >> np.uint64(31)
+        self._update(v)
+
+    def _update(self, h: "np.ndarray") -> None:
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
         # rank = (#leading zeros of `rest`) + 1 — binary-search shifts,

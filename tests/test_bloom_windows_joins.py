@@ -137,6 +137,12 @@ def test_hll_accuracy_and_merge():
     b.add_many([f"u{i}".encode() for i in range(20000, 50000)])
     m = HyperLogLog.deserialize(a.merge(b).serialize())
     assert abs(m.estimate() - 50000) / 50000 < 0.05
+    # vectorised integer path (splitmix64): same accuracy bound
+    import numpy as np
+
+    hi = HyperLogLog(12)
+    hi.add_ints(np.arange(50000, dtype=np.int64))
+    assert abs(hi.estimate() - 50000) / 50000 < 0.05
 
 
 def test_streaming_window_matches_batch(ray_session):
