@@ -702,6 +702,12 @@ def join_bucketed(sf_dir: str) -> pd.DataFrame:
 
 _TOKEN_SQL = r"len(regexp_extract_all(text, '\S+'))"
 
+from ..stages.text import _LANG_PROFILES as _LP
+
+_LANG_PROFILE_VALUES = ", ".join(
+    f"('{l}','{w}')" for l, ws in sorted(_LP.items()) for w in sorted(ws)
+)
+
 QUERIES: dict[str, tuple] = {
     # (callable, oracle_sql or None)
     "range_filter": (
@@ -916,7 +922,27 @@ QUERIES: dict[str, tuple] = {
         "SELECT doc_id, md5(text) AS md5 FROM documents",
     ),
     "fingerprint_rolling": (fingerprint_rolling, None),
-    "lang_id": (lang_id, None),
+    "lang_id": (
+        lang_id,
+        # the stopword-profile heuristic, reproduced from scratch in SQL:
+        # same token regex, same first-200 slice, duplicate-counting
+        # membership scores, ties broken by lang name ascending (Python
+        # max over sorted keys), zero matches / zero tokens -> unknown
+        "WITH toks AS ("
+        " SELECT doc_id, lower(tok) AS tok FROM ("
+        "  SELECT doc_id, unnest(list_slice("
+        "   regexp_extract_all(text, '[A-Za-z\u00e4\u00f6\u00fc\u00e9\u00e8\u00e1\u00ed\u00f3\u00fa\u00f1]+'), 1, 200)) AS tok"
+        "  FROM documents)),"
+        "profiles(lang, word) AS (VALUES " + _LANG_PROFILE_VALUES + "),"
+        "scores AS (SELECT t.doc_id, p.lang, count(*) AS score"
+        " FROM toks t JOIN profiles p ON t.tok = p.word GROUP BY 1, 2),"
+        "best AS (SELECT doc_id, lang FROM ("
+        " SELECT doc_id, lang, row_number() OVER ("
+        "  PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scores)"
+        " WHERE rn = 1) "
+        "SELECT d.doc_id, COALESCE(b.lang, 'unknown') AS lang_pred "
+        "FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id",
+    ),
     # dedup suite
     "stratified_sample": (
         stratified_sample,
