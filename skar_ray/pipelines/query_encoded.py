@@ -321,3 +321,27 @@ def query_encoded_semi_join(
     in_clause = (key_b, "in", keys)
     new_dnf: DNF = [conj + [in_clause] for conj in dnf_b] if dnf_b else [[in_clause]]
     return query_encoded(store_b, columns=columns_b, filters=new_dnf, concurrency=concurrency)
+
+
+def query_encoded_with_tail(
+    out_dir: str,
+    tail_path: str,
+    columns: list[str] | None = None,
+    filters: DNF | None = None,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """Query the encoded store PLUS a raw, not-yet-encoded tail — the
+    reference runs every query over its compressed folders and then the
+    same query over the in-memory tip snapshot before returning
+    (/root/reference/skar/src/query/handler.rs:109-136): readers see
+    rows the flush hasn't compacted yet.  The tail is a Parquet
+    path/directory (our append delta format); it gets the same DNF +
+    projection, column-pruned at the read, and unions with the decoded
+    results."""
+    enc = query_encoded(out_dir, columns=columns, filters=filters, concurrency=concurrency)
+    tail = ray.data.read_parquet(tail_path, columns=columns)
+    if filters:
+        tail = tail.map_batches(lambda t, f=filters: _apply_dnf(t, f), batch_format="pyarrow")
+    if columns:
+        tail = tail.map_batches(lambda t, c=columns: t.select(c), batch_format="pyarrow")
+    return enc.union(tail)

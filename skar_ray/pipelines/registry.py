@@ -226,6 +226,38 @@ def query_encoded_join(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def query_encoded_tail(sf_dir: str) -> pd.DataFrame:
+    """Query over the encoded store UNIONED with a raw un-encoded tail
+    — the reference answers every query from its compressed folders
+    plus the in-memory tip snapshot (handler.rs:109-136).  Encode the
+    first half of `documents`, leave the second half as a raw Parquet
+    delta, run one DNF over both; the oracle sees the whole table."""
+    import pyarrow.parquet as _pq
+
+    from .encode_job import run_encode_job
+    from .query_encoded import query_encoded_with_tail
+
+    work = tempfile.mkdtemp(prefix="skar_qenc_tail_")
+    try:
+        full = _pq.read_table(f"{sf_dir}/documents.parquet")
+        half = full.num_rows // 2
+        enc_src = os.path.join(work, "head.parquet")
+        _pq.write_table(full.slice(0, half), enc_src)
+        tail_path = os.path.join(work, "tail.parquet")
+        _pq.write_table(full.slice(half), tail_path)
+        store = os.path.join(work, "store")
+        run_encode_job(enc_src, store, mode="sharded",
+                       chunk_target_bytes=128 << 10, resume=False)
+        res = query_encoded_with_tail(
+            store, tail_path,
+            columns=["doc_id", "lang", "n_chars"],
+            filters=[[("lang", "==", "en"), ("n_chars", ">=", 300)]],
+        ).to_pandas()
+        return res.sort_values("doc_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def append_corpus(sf_dir: str) -> pd.DataFrame:
     """Incremental-append lifecycle (skar's tip-following flush,
     skar_runner.rs:285-370): encode the first half of the corpus, append
@@ -900,6 +932,11 @@ QUERIES: dict[str, tuple] = {
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders "
         "WHERE o_orderstatus = 'F' AND o_custkey IN "
         "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",
+    ),
+    "query_encoded_tail": (
+        query_encoded_tail,
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE lang = 'en' AND n_chars >= 300",
     ),
     "compact_corpus": (compact_corpus, None),
     "append_corpus": (append_corpus, None),

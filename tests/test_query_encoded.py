@@ -454,3 +454,39 @@ def test_decoder_header_cache_hit_and_invalidation(encoded, monkeypatch):
     _os.utime(path, ns=(_os.stat(path).st_atime_ns, _os.stat(path).st_mtime_ns + 1))
     actor(batch)
     assert calls["n"] == 2, "replaced container must re-parse the header"
+
+
+def test_query_encoded_with_tail_matches_union(encoded, tmp_path):
+    """Store + raw un-encoded tail must answer like one table (the
+    reference's compressed-folders + in-memory-tip query order,
+    handler.rs:109-136), including when the DNF matches only tail rows
+    or only store rows."""
+    from skar_ray.pipelines.query_encoded import query_encoded_with_tail
+
+    src = read_corpus_table(encoded)
+    # tail: synthetic extra rows with a lang that exists and one that doesn't
+    tail_tbl = pa.table({
+        "repo": pa.array(["tail/repo"] * 3),
+        "path": pa.array([f"tail/file{i}.py" for i in range(3)]),
+        "commit": pa.array(["c0"] * 3),
+        "lang": pa.array(["python", "python", "zz-new-lang"]),
+        "content": pa.array(["tail content"] * 3, type=pa.large_string()),
+    })
+    tail_path = str(tmp_path / "tail.parquet")
+    pq.write_table(tail_tbl, tail_path)
+
+    got = (
+        query_encoded_with_tail(OUT, tail_path, columns=["repo", "path", "lang"],
+                                filters=[[("lang", "==", "python")]])
+        .to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    want_store = src.filter(pc.equal(src["lang"], "python")).num_rows
+    assert len(got) == want_store + 2
+    assert (got["lang"] == "python").all()
+
+    # tail-only match: store contributes its typed empty
+    only_tail = query_encoded_with_tail(
+        OUT, tail_path, columns=["repo", "lang"],
+        filters=[[("lang", "==", "zz-new-lang")]],
+    ).to_pandas()
+    assert len(only_tail) == 1 and only_tail["repo"].iloc[0] == "tail/repo"
