@@ -1024,7 +1024,29 @@ QUERIES: dict[str, tuple] = {
         "FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b "
         "WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8",
     ),
-    "dedup_minhash_keep": (dedup_minhash_keep, None),
+    "dedup_minhash_keep": (
+        dedup_minhash_keep,
+        # the WHOLE near-dedup deliverable verified from scratch in SQL:
+        # exact shingle-Jaccard pairs -> transitive closure (recursive
+        # CTE min-label) -> keep min-id per cluster + all unpaired docs
+        "WITH RECURSIVE sh AS ("
+        " SELECT DISTINCT doc_id, substring(text, CAST(gs.i AS INTEGER), 5) AS g"
+        " FROM documents CROSS JOIN generate_series(1, 8192) gs(i)"
+        " WHERE gs.i <= length(text) - 4),"
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i"
+        " FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),"
+        "pairs AS (SELECT doc_a, doc_b FROM inter"
+        " JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b"
+        " WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8),"
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+        " UNION SELECT doc_b, doc_a FROM pairs),"
+        "reach(node, r) AS (SELECT a, b FROM edges"
+        " UNION SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a),"
+        "minlab AS (SELECT node, LEAST(node, min(r)) AS label FROM reach GROUP BY node) "
+        "SELECT doc_id FROM documents"
+        " WHERE doc_id NOT IN (SELECT node FROM minlab WHERE label <> node)",
+    ),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_ngram": (
         dedup_ngram,
