@@ -132,7 +132,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     if not os.environ.get("SKAR_BENCH_MINIMAL"):
         from skar_ray.pipelines.registry import QUERIES
 
-        for name in ["agg_q1", "range_filter", "semi_join", "token_count", "dedup_minhash", "ann_bruteforce"]:
+        for name in ["agg_q1", "range_filter", "semi_join", "token_count", "dedup_minhash",
+                     "ann_bruteforce", "query_encoded_documents", "query_encoded_join",
+                     "session_window"]:
             fn = QUERIES[name][0]
             t0 = time.time()
             res = fn(sf_dir)
