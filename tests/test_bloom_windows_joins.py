@@ -241,3 +241,73 @@ def test_windows_hot_key_salted_paths_exact(ray_session):
         salted = fn(ds, salt_freq="1D", **kw)
         unsalted = fn(ds, salt_freq=None, **kw)
         pd.testing.assert_frame_equal(salted, unsalted), fn.__name__
+
+
+@pytest.mark.parametrize("seed", [11, 77])
+def test_salted_windows_match_pandas_reference(ray_session, seed):
+    """Randomized cross-check: the salted session / sliding / asof
+    operators must match INDEPENDENT single-process pandas
+    reimplementations (not just the unsalted Ray path) on random event
+    sets whose sessions and windows straddle salt boundaries."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from skar_ray.stages import windows as W
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    eid = 0
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    for u in range(12):
+        t = base + np.timedelta64(int(rng.integers(0, 86_400)), "s")
+        for _ in range(int(rng.integers(20, 120))):
+            t = t + np.timedelta64(int(rng.choice([60, 1200, 4000, 40_000])), "s")
+            rows.append((eid, t, u, rng.choice(["click", "purchase"]), float(rng.random())))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=1).reset_index(drop=True))
+
+    # sessionization reference
+    gap = pd.Timedelta(minutes=60)
+    ref_rows = []
+    for u, g in df.sort_values("ts").groupby("user_id"):
+        ref_rows.append((u, int((g["ts"].diff() > gap).sum()) + 1, len(g)))
+    ref = pd.DataFrame(ref_rows, columns=["user_id", "n_sessions", "n_events"]).astype("int64")
+    got = W.session_windows(ds, gap_minutes=60, salt_freq="1D")
+    pd.testing.assert_frame_equal(got, ref.sort_values("user_id").reset_index(drop=True))
+
+    # sliding peak reference (two-pointer per user)
+    w = np.timedelta64(6 * 3600, "s")
+    ref_rows = []
+    for u, g in df.sort_values("ts").groupby("user_id"):
+        ts = g["ts"].to_numpy()
+        peak, j = 0, 0
+        for i in range(len(ts)):
+            while ts[i] - ts[j] >= w:
+                j += 1
+            peak = max(peak, i - j + 1)
+        ref_rows.append((u, peak))
+    ref = pd.DataFrame(ref_rows, columns=["user_id", "peak_count"]).astype("int64")
+    got = W.sliding_window_peak(ds, window="6h", salt_freq="1D")
+    pd.testing.assert_frame_equal(got, ref.sort_values("user_id").reset_index(drop=True))
+
+    # asof reference (merge_asof per user over the full history)
+    ref_parts = []
+    for u, g in df.groupby("user_id"):
+        left = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        right = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        if len(left) == 0 or len(right) == 0:
+            continue
+        m = pd.merge_asof(left[["event_id", "ts"]],
+                          right[["ts"]].rename(columns={"ts": "last_right_ts"}),
+                          left_on="ts", right_on="last_right_ts", direction="backward")
+        m = m.dropna(subset=["last_right_ts"])
+        m["user_id"] = u
+        ref_parts.append(m[["event_id", "user_id", "last_right_ts"]])
+    ref = (pd.concat(ref_parts, ignore_index=True).sort_values("event_id")
+           .reset_index(drop=True).astype({"event_id": "int64", "user_id": "int64",
+                                           "last_right_ts": "datetime64[us]"}))
+    got = W.asof_join_events(ds, salt_freq="1D")
+    pd.testing.assert_frame_equal(got, ref)
