@@ -525,9 +525,14 @@ def dedup_embedding(sf_dir: str) -> pa.Table:
         if col not in planted.columns:
             planted[col] = None
     extra = ray.data.from_pandas(planted[[c for c in ["vec_id", "embedding"]]])
-    ds = ds.select_columns(["vec_id", "embedding"]).union(extra)
+    # materialize the (tiny) unioned input once: both the bucketing and
+    # the unit-vector stages consume it, and an unmaterialized union
+    # re-executes per consumer while flapping between pandas-block and
+    # arrow list schemas
+    ds = ds.select_columns(["vec_id", "embedding"]).union(extra).materialize()
     dim = len(np.asarray(base["embedding"].iloc[0]))
-    return dedup.embedding_dup_pairs(ds, threshold=0.95, dim=dim)
+    return dedup.embedding_dup_pairs(ds, threshold=0.95, dim=dim,
+                                     n_vectors=len(base) + len(planted))
 
 
 def dedup_embedding_exact(sf_dir: str) -> pa.Table:

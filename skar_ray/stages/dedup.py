@@ -76,6 +76,7 @@ def capped_pairs(ids: list, window: int = 8) -> list[tuple]:
 
 
 _BROADCAST_PAIR_LIMIT = 50_000
+_BROADCAST_ID_LIMIT = 100_000
 
 
 def _dedup_pairs_distributed(cand: "ray.data.Dataset", a: str, b: str):
@@ -119,6 +120,7 @@ def _pairs_with_feature(
     b: str = "doc_b",
     n_buckets: int = 16,
     n_pairs: int | None = None,
+    n_ids: int | None = None,
 ) -> "ray.data.Dataset":
     """Attach a binary feature column to both endpoints of candidate
     pairs.  ``feats`` has columns (id, feature-bytes) in that order and
@@ -142,7 +144,13 @@ def _pairs_with_feature(
         pairs = rd.from_arrow(pairs)
     elif n_pairs is None:
         n_pairs = pairs.count()
-    if n_pairs <= _BROADCAST_PAIR_LIMIT:
+    # what broadcast actually ships is the INVOLVED-ID feature map, not
+    # the pair list (pairs stay distributed either way) — so the right
+    # gate is the id count when the caller knows it: 56k pairs over
+    # 2000 vectors is a 1 MB map, and the join path costs two exchanges
+    if (n_ids is not None and n_ids <= _BROADCAST_ID_LIMIT) or (
+        n_ids is None and n_pairs <= _BROADCAST_PAIR_LIMIT
+    ):
         fdf = feats.to_pandas()  # pair-involved features only (bounded)
         fmap_ref = ray.put(dict(zip(fdf.iloc[:, 0].astype("int64"), fdf.iloc[:, 1])))
 
@@ -341,7 +349,7 @@ def minhash_lsh_pairs(
 
     feats = ds.map_batches(Shingler, fn_constructor_args=(ids_ref, k),
                            batch_format="pyarrow", concurrency=pool_size())
-    joined = _pairs_with_feature(cand_ds, feats, n_pairs=n_pairs)
+    joined = _pairs_with_feature(cand_ds, feats, n_pairs=n_pairs, n_ids=len(need_ids))
 
     def verify_batch(t: pa.Table) -> pa.Table:
         out_a, out_b, out_j = [], [], []
@@ -713,21 +721,40 @@ def dedup_keep_list(ds: "ray.data.Dataset", pairs: pd.DataFrame,
 # ------------------------------------------------------ embedding cosine
 
 def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
-                        n_tables: int = 8, n_planes: int = 6, seed: int = 42,
-                        dim: int | None = None) -> pa.Table:
+                        n_tables: int | None = None, n_planes: int | None = None,
+                        seed: int = 42, dim: int | None = None,
+                        n_vectors: int | None = None) -> pa.Table:
     """Near-dup pairs by cosine >= threshold.
 
-    Multi-table random-hyperplane LSH (``n_tables`` independent sign
-    sketches of ``n_planes`` bits — recall ≈ 1-(1-p^b)^T, ≈0.98 at
-    cosine 0.9 with 8×6).  Only ``(table, bucket, vec_id)`` rows go
-    through the shuffle (round-1 shipped every unit vector ×n_tables);
-    candidate pairs are then verified EXACTLY by attaching each
-    endpoint's unit vector via two distributed hash joins.
+    Multi-table random-hyperplane LSH; only ``(table, bucket, vec_id)``
+    rows go through the shuffle (round-1 shipped every unit vector
+    ×n_tables); candidate pairs are then verified EXACTLY by attaching
+    each endpoint's unit vector (broadcast under 50k pairs, bucketed
+    joins above).
+
+    Bucket space SCALES WITH THE CORPUS (the simhash band-ceiling
+    lesson applied here): ``n_planes`` defaults to ~log2(n)-3, keeping
+    expected bucket population ~constant instead of linear in corpus
+    size — at a fixed 6 planes, 2000 near-random vectors already
+    produced 275k candidate pairs (14% of ALL pairs).  ``n_tables``
+    then follows from the recall target: per-plane collision
+    p = 1 - arccos(threshold)/pi, per-table p^b, tables chosen for
+    >=95% recall AT the threshold (true near-dups far above the
+    threshold collide with much higher probability).
     """
-    if dim is None:
-        # one limit-1 plan execution; callers that know the
-        # dimensionality should pass it and skip this
-        dim = len(ds.take(1)[0]["embedding"])
+    if dim is None or (n_planes is None and n_vectors is None):
+        # one limit-1 / count execution; callers that know the
+        # dimensionality and size should pass them and skip this
+        if dim is None:
+            dim = len(ds.take(1)[0]["embedding"])
+        if n_vectors is None:
+            n_vectors = int(ds.count())
+    if n_planes is None:
+        n_planes = max(6, int(np.ceil(np.log2(max(2, n_vectors)))) - 3)
+    if n_tables is None:
+        p_plane = 1.0 - float(np.arccos(min(1.0, max(-1.0, threshold)))) / np.pi
+        r1 = p_plane ** n_planes
+        n_tables = int(np.clip(np.ceil(np.log(0.05) / np.log(max(1e-9, 1.0 - r1))), 4, 32))
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables, dim, n_planes))
     planes_ref = ray.put(planes)
@@ -796,7 +823,8 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
 
     feats = ds.map_batches(UnitVecs, fn_constructor_args=(ids_ref,),
                            batch_format="pyarrow", concurrency=pool_size())
-    joined = _pairs_with_feature(cand_ds, feats, a="vec_a", b="vec_b", n_pairs=n_pairs)
+    joined = _pairs_with_feature(cand_ds, feats, a="vec_a", b="vec_b",
+                                 n_pairs=n_pairs, n_ids=len(need_ids))
 
     def verify_batch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -5,9 +5,21 @@ DataFrame overhead — LSH banding, (user, time-bucket) windows and
 similar stages produce millions of mostly-singleton groups, where that
 overhead dominates wall time (measured 4.1 s of a 10 s dedup pipeline).
 ``bucketed_group_apply`` shuffles ONCE on a coarse hash of the fine
-key (small-cardinality int ⇒ cheap sort, n_buckets UDF invocations)
-and applies ``fn`` per fine group with a LOCAL vectorised pandas
+key and applies ``fn`` per fine group with a LOCAL vectorised pandas
 groupby — identical results, same rows moved, constant task count.
+
+Two backends, equality-tested (mirroring the encode path's grouped vs
+hashed modes):
+
+- ``"ray"`` (default): raw-Ray hash exchange — map tasks split each
+  block into per-coarse-bucket sub-tables (``ray.put`` each), one
+  reduce task per bucket concatenates and runs the local groupby.  No
+  sort, no sample pass, no barrier beyond the natural data dependency;
+  ``Dataset.groupby``'s sample-sort costs ~3 s of pure exchange
+  latency on tiny-row inputs regardless of size.  This is the
+  documented raw-Ray last resort, same as pipelines/hash_exchange.py.
+- ``"dataset"``: Dataset-native ``groupby`` on the coarse key — kept
+  as the API-conservative fallback.
 """
 
 from __future__ import annotations
@@ -15,53 +27,118 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+import ray
 import ray.data
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _coarse_hash(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
+    h = np.zeros(len(df), dtype=np.uint64)
+    for k in keys:
+        col = df[k]
+        if col.dtype == object:
+            kv = pd.util.hash_array(col.to_numpy()).astype(np.uint64)
+        else:
+            kv = col.to_numpy().astype(np.uint64, copy=False)
+        h = (h ^ kv) * _MIX
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _local_group_apply(g: pd.DataFrame, keys: list[str], fn) -> pd.DataFrame:
+    if len(g) == 0:
+        return fn(g)
+    outs = [fn(sub) for _, sub in g.groupby(keys, sort=True)]
+    outs = [o for o in outs if len(o)]
+    if not outs:
+        return fn(g.iloc[0:0])
+    return pd.concat(outs, ignore_index=True)
+
+
+@ray.remote
+def _split_block(tbl, keys: list[str], n_buckets: int) -> dict[int, "ray.ObjectRef"]:
+    import pyarrow as pa
+
+    df = tbl.to_pandas()
+    if len(df) == 0:
+        return {}
+    cb = _coarse_hash(df, keys, n_buckets)
+    out = {}
+    order = np.argsort(cb, kind="stable")
+    sorted_cb = cb[order]
+    bounds = np.flatnonzero(np.r_[True, sorted_cb[1:] != sorted_cb[:-1], True])
+    for s_, e_ in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+        b = int(sorted_cb[s_])
+        sub = df.iloc[order[s_:e_]]
+        out[b] = ray.put(pa.Table.from_pandas(sub, preserve_index=False))
+    return out
+
+
+@ray.remote
+def _reduce_bucket(keys: list[str], fn, *parts) -> "pa.Table":
+    import pyarrow as pa
+
+    df = pd.concat([p.to_pandas() for p in parts], ignore_index=True)
+    out = _local_group_apply(df, keys, fn)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+@ray.remote
+def _n_rows(t) -> int:
+    return t.num_rows
 
 
 def bucketed_group_apply(ds: "ray.data.Dataset", keys: list[str], fn,
-                         n_buckets: int | None = None) -> "ray.data.Dataset":
-    """Two-level exchange for per-fine-group UDFs over TINY rows: hash
-    the fine group key into ``n_buckets`` coarse buckets (one
-    ``Dataset.groupby`` on a small-cardinality int key), then a LOCAL
-    vectorised pandas groupby inside each bucket applies ``fn`` per
-    fine group.  ``Dataset.groupby`` directly on the fine key spends
-    its time on per-group task/DataFrame overhead — LSH bucketing
-    yields millions of mostly-singleton groups (measured: 4.1 s of a
-    10 s dedup pipeline at 80k groups); the coarse exchange moves the
-    same rows once and cuts UDF invocations to ``n_buckets``.
-    Same-key rows still co-locate (hash of the full fine key), so
-    results are identical."""
+                         n_buckets: int | None = None,
+                         backend: str = "ray") -> "ray.data.Dataset":
+    """Apply ``fn`` once per distinct value of ``keys`` (pandas in,
+    pandas out), co-locating fine groups via a coarse hash exchange.
+    Results are identical across backends (equality-tested); rows of
+    one fine group always land in one reduce task."""
     if n_buckets is None:
-        import ray as _ray
+        n_buckets = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
 
-        n_buckets = max(16, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+    if backend == "dataset":
+        def coarse(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(__cb=_coarse_hash(df, keys, n_buckets))
 
-    P = np.uint64(0x9E3779B97F4A7C15)
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            return _local_group_apply(g, keys, fn)
 
-    def coarse(df: pd.DataFrame) -> pd.DataFrame:
-        h = np.zeros(len(df), dtype=np.uint64)
-        for k in keys:
-            col = df[k]
-            if col.dtype == object:
-                kv = pd.util.hash_array(col.to_numpy()).astype(np.uint64)
-            else:
-                kv = col.to_numpy().astype(np.uint64, copy=False)
-            h = (h ^ kv) * P
-        return df.assign(__cb=(h % np.uint64(n_buckets)).astype(np.int64))
+        return (
+            ds.map_batches(coarse, batch_format="pandas")
+            .groupby("__cb")
+            .map_groups(per_bucket, batch_format="pandas")
+        )
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return fn(g)
-        outs = [fn(sub) for _, sub in g.groupby(keys, sort=True)]
-        outs = [o for o in outs if len(o)]
-        if not outs:
-            return fn(g.iloc[0:0])
-        return pd.concat(outs, ignore_index=True)
+    block_refs = ds.to_arrow_refs()  # distributed blocks; refs only on driver
+    if not block_refs:
+        return ray.data.from_pandas(fn(pd.DataFrame(columns=keys)))
 
-    return (
-        ds.map_batches(coarse, batch_format="pandas")
-        .groupby("__cb")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+    def _empty_result():
+        # fn must see an empty frame with the INPUT's full schema (the
+        # dataset backend's empty-group calls carry all columns too, and
+        # fns read non-key columns) — fetch one block, slice to 0 rows
+        empty_df = ray.get(block_refs[0]).to_pandas().iloc[0:0]
+        return ray.data.from_pandas(fn(empty_df))
 
-
+    split_maps = ray.get([
+        _split_block.remote(r, keys, n_buckets) for r in block_refs
+    ])  # dicts of {bucket: ref} — tiny
+    per_bucket_parts: dict[int, list] = {}
+    for m in split_maps:
+        for b, r in m.items():
+            per_bucket_parts.setdefault(b, []).append(r)
+    if not per_bucket_parts:
+        return _empty_result()
+    out_refs = [
+        _reduce_bucket.remote(keys, fn, *parts)
+        for _, parts in sorted(per_bucket_parts.items())
+    ]
+    # drop empty outputs so pandas-object empties can't pollute the
+    # unioned schema (metadata-only fetch: ints, not tables)
+    counts = ray.get([_n_rows.remote(r) for r in out_refs])
+    keep = [r for r, c in zip(out_refs, counts) if c > 0]
+    if not keep:
+        return _empty_result()
+    return ray.data.from_arrow_refs(keep)

@@ -1,0 +1,25 @@
+import numpy as np, pandas as pd
+import pytest
+
+def test_backends_equal(ray_session):
+    import ray.data
+    from skar_ray.stages.groups import bucketed_group_apply
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "k1": rng.integers(0, 50, 5000),
+        "k2": rng.choice(["x", "y", "z"], 5000),
+        "v": rng.random(5000),
+    })
+    ds = ray.data.from_pandas(df)
+    def agg(g):
+        if len(g) == 0:
+            return pd.DataFrame({"k1": pd.Series(dtype="int64"), "k2": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64"), "s": pd.Series(dtype="float64")})
+        return pd.DataFrame({"k1": [g["k1"].iloc[0]], "k2": [g["k2"].iloc[0]],
+                             "n": [len(g)], "s": [g["v"].sum()]})
+    a = bucketed_group_apply(ds, ["k1", "k2"], agg, backend="ray").to_pandas()
+    b = bucketed_group_apply(ds, ["k1", "k2"], agg, backend="dataset").to_pandas()
+    a = a.sort_values(["k1","k2"]).reset_index(drop=True)
+    b = b.sort_values(["k1","k2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == df.groupby(["k1","k2"]).ngroups
