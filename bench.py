@@ -128,7 +128,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         finally:
             shutil.rmtree(out2, ignore_errors=True)
 
-    # representative operator timings over the driver's tables
+    # representative operator timings over the driver's tables —
+    # best-of-2 like the headline: single samples on this host swing
+    # 2-3x between phases (measured same-code 3.9 s vs 14.3 s for one
+    # query minutes apart)
     if not os.environ.get("SKAR_BENCH_MINIMAL"):
         from skar_ray.pipelines.registry import QUERIES
 
@@ -136,11 +139,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "ann_bruteforce", "query_encoded_documents", "query_encoded_join",
                      "session_window"]:
             fn = QUERIES[name][0]
-            t0 = time.time()
-            res = fn(sf_dir)
-            if isinstance(res, ray.data.Dataset):
-                res = res.to_pandas()
-            queries[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                res = fn(sf_dir)
+                if isinstance(res, ray.data.Dataset):
+                    res = res.to_pandas()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            queries[name] = round(best, 3)
 
     ray.shutdown()
     gbps = raw_content_bytes / max(1e-9, encode_s) / 1e9
