@@ -130,4 +130,8 @@ def bucket_hash_join(
             return pd.DataFrame({name: pd.Series(dtype="object") for name, _ in all_fields})
         return l.merge(r, on=key, how=how)
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    from .groups import bucketed_group_apply
+
+    # co-group via the shared raw-Ray hash exchange (no sample-sort
+    # pass); the fine key IS the precomputed bucket id
+    return bucketed_group_apply(both, ["__bucket"], join_bucket)
