@@ -226,13 +226,20 @@ def add_content_hash(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
 
 
 def exact_dedup(ds: "ray.data.Dataset", col: str = "text", id_col: str = "doc_id") -> "ray.data.Dataset":
-    """Keep the minimum id per identical content (hash-partitioned)."""
-    hashed = ds.map_batches(lambda b: add_content_hash(b, col), batch_format="pandas")
+    """Keep the minimum id per identical content (hash-partitioned).
+    One fine group per DISTINCT content hash — the canonical
+    mostly-singleton-group shape, so the shared two-level exchange
+    applies (a per-batch min pre-pass keeps the shuffle rows small)."""
+    def partial_min(b: pd.DataFrame) -> pd.DataFrame:
+        b = add_content_hash(b, col)
+        return b.groupby("content_hash", as_index=False)[id_col].min()
+
+    hashed = ds.map_batches(partial_min, batch_format="pandas")
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({id_col: [g[id_col].min()]})
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return bucketed_group_apply(hashed, ["content_hash"], keep_first)
 
 
 # ---------------------------------------------------------------- minhash
@@ -660,13 +667,14 @@ def connected_components_distributed(
     ).materialize()
 
     # initial labels: label(node) = node
-    labels = both_dirs.map_batches(
-        lambda t: pa.table({"node": t.column("node"), "label": t.column("node")}),
-        batch_format="pyarrow",
-    ).groupby("node").map_groups(
+    labels = bucketed_group_apply(
+        both_dirs.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "label": t.column("node")}),
+            batch_format="pyarrow",
+        ),
+        ["node"],
         lambda g: pd.DataFrame({"node": [int(g["node"].iloc[0])], "label": [int(g["node"].iloc[0])]})
         if len(g) else pd.DataFrame({"node": [], "label": []}),
-        batch_format="pandas",
     ).materialize()
 
     for _ in range(max_rounds):
@@ -686,7 +694,7 @@ def connected_components_distributed(
             nodes = [int(g["node"].iloc[0]), *peers]
             return pd.DataFrame({"node": nodes, "label": [my] * len(nodes)})
 
-        msgs = lab_rows.union(both_dirs).groupby("node").map_groups(send, batch_format="pandas")
+        msgs = bucketed_group_apply(lab_rows.union(both_dirs), ["node"], send)
 
         # stage B: per-node min over received labels
         def take_min(g: pd.DataFrame) -> pd.DataFrame:
@@ -694,7 +702,7 @@ def connected_components_distributed(
                 return pd.DataFrame({"node": [], "label": []})
             return pd.DataFrame({"node": [int(g["node"].iloc[0])], "label": [int(g["label"].min())]})
 
-        new_labels = msgs.groupby("node").map_groups(take_min, batch_format="pandas").materialize()
+        new_labels = bucketed_group_apply(msgs, ["node"], take_min).materialize()
         old = labels.to_pandas().set_index("node")["label"].sort_index()
         new = new_labels.to_pandas().set_index("node")["label"].sort_index()
         labels = new_labels
