@@ -61,8 +61,11 @@ def _auto_partition_bytes(total_bytes: int) -> int:
 FAST_PROFILE_OVERRIDES = {
     # speed-oriented profile: skip FSST (pure-Python chain is the CPU
     # bottleneck), keep dict/rle for the run-heavy keys, rely on the
-    # zstd page pass for content — measured ~2x faster wall at ~3x
-    # (instead of ~5x) below the reference footprint
+    # zstd-9 page pass for content.  Measured (r3): dropping the page
+    # level to 3 ("__page_level__" override) saves ~90 worker-seconds
+    # of zstd CPU but ZERO wall time at 32 cores — the critical path is
+    # the exchange, not compression — while costing 3.05x -> 1.82x
+    # ratio; level 9 stays the right operating point on this profile.
     "content": "plain",
     "path": "plain",
     "repo": "rle",

@@ -69,7 +69,11 @@ def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]
     """
     if chunk_rows is None:
         chunk_rows = [(0, table.num_rows)]
-    codec_overrides = codec_overrides or {}
+    codec_overrides = dict(codec_overrides or {})
+    # "__page_level__" rides in the overrides dict (the one per-job knob
+    # that already reaches every encode worker): zstd frames are
+    # self-describing, so ONLY the encode side needs the level
+    page_level = codec_overrides.pop("__page_level__", None)
 
     # partition-level codec plan: select ONCE per column (sampled), and
     # train ONE FSST symbol table per column per partition (the
@@ -110,7 +114,7 @@ def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]
         for name in table.column_names:
             col = sl.column(name)
             codec, fsst_table, estimates = plan[name]
-            enc = auto.encode_column(col, codec, fsst_table=fsst_table)
+            enc = auto.encode_column(col, codec, fsst_table=fsst_table, page_level=page_level)
             if first_chunk:
                 enc.estimates = estimates
             minmax = _chunk_stats(name, col)
