@@ -339,7 +339,15 @@ def query_encoded_with_tail(
     projection, column-pruned at the read, and unions with the decoded
     results."""
     enc = query_encoded(out_dir, columns=columns, filters=filters, concurrency=concurrency)
-    tail = ray.data.read_parquet(tail_path, columns=columns)
+    # read the tail with projection ∪ filter columns: the encoded side
+    # evaluates the DNF on the encoded form BEFORE projection, so a
+    # filter column outside `columns` must stay readable on the raw side
+    # too (pruned back to the projection after the filter)
+    read_cols = columns
+    if columns and filters:
+        fcols = {c for conj in filters for (c, _op, _v) in conj}
+        read_cols = list(dict.fromkeys([*columns, *sorted(fcols - set(columns))]))
+    tail = ray.data.read_parquet(tail_path, columns=read_cols)
     if filters:
         tail = tail.map_batches(lambda t, f=filters: _apply_dnf(t, f), batch_format="pyarrow")
     if columns:

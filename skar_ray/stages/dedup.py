@@ -421,11 +421,21 @@ def _sim_block_masks(sizes=(11, 11, 11, 11, 10, 10)) -> list[int]:
 
 
 def _split_mask(free_mask: int, parts: int) -> list[int]:
-    """Partition the set bits of `free_mask` into up to `parts` masks."""
+    """Partition the set bits of `free_mask` into exactly
+    ``min(parts, n_bits)`` masks whose sizes differ by at most one
+    (np.array_split semantics).  Ceil-division chunking could return
+    FEWER than `parts` masks (5, 6 or 9 bits at parts=4 yielded 3),
+    which broke the pigeonhole guarantee `_sim_pairs_exhaustive` relies
+    on — a hamming-3 pair whose differing bits touched all 3 masks was
+    silently dropped."""
     bits = [i for i in range(64) if (free_mask >> i) & 1]
-    out, step = [], max(1, -(-len(bits) // parts))
-    for i in range(0, len(bits), step):
-        out.append(sum(1 << b for b in bits[i : i + step]))
+    k = min(parts, len(bits))
+    q, r = divmod(len(bits), k)
+    out, pos = [], 0
+    for i in range(k):
+        step = q + (1 if i < r else 0)
+        out.append(sum(1 << b for b in bits[pos : pos + step]))
+        pos += step
     return out
 
 
@@ -445,7 +455,12 @@ def _sim_pairs_exhaustive(ids: np.ndarray, h: np.ndarray, free_mask: int,
     are all equal) is an identical-hash clique and emits a hamming-0
     star to its min id — exact, because hamming 0 is transitive and the
     full pair set is the clique closure (emitting O(n²) rows for a
-    mass-identical corpus would make the OUTPUT quadratic)."""
+    mass-identical corpus would make the OUTPUT quadratic).  A bucket
+    whose free-bit count is <= max_hamming (pigeonhole unavailable)
+    groups by full hash value instead: hamming-0 stars per clique plus
+    all pairs over the <=2^free clique representatives — the pair set
+    is exact up to this clique-star closure (connected components
+    recover identical clusters either way)."""
     n = len(ids)
     if n <= MAX_BUCKET:
         if n > 1:
@@ -473,6 +488,36 @@ def _sim_pairs_exhaustive(ids: np.ndarray, h: np.ndarray, free_mask: int,
         for other in ids.tolist():
             if int(other) != hub:
                 out.setdefault((hub, int(other)), 0)
+        return
+    if bin(free_mask).count("1") <= max_hamming:
+        # too few free bits to form max_hamming+1 disjoint sub-masks —
+        # pigeonhole is unavailable.  But then only <=2^free distinct
+        # hash values exist: group by FULL hash value, emit a hamming-0
+        # star per identical-hash clique (the established clique-closure
+        # contract) plus all pairs over the <=2^free clique
+        # REPRESENTATIVES (min ids) — connectivity-exact without a
+        # quadratic cross-clique pair list.
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        bounds = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1], True])
+        reps: list[int] = []
+        rep_h: list[np.uint64] = []
+        for s_, e_ in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+            sel = order[s_:e_]
+            hub = int(ids[sel].min())
+            reps.append(hub)
+            rep_h.append(hs[s_])
+            for other in ids[sel].tolist():
+                if int(other) != hub:
+                    out.setdefault((hub, int(other)), 0)
+        rh = np.array(rep_h, dtype=np.uint64)
+        ra = np.array(reps, dtype=np.int64)
+        nr = len(ra)
+        x = (rh[:, None] ^ rh[None, :]).view(np.uint8).reshape(nr, nr, 8)
+        d = _SIM_POPCNT[x].sum(axis=2)
+        ia, ib = np.where(np.triu(d <= max_hamming, k=1))
+        for i, j, dist in zip(ra[ia].tolist(), ra[ib].tolist(), d[ia, ib].tolist()):
+            out.setdefault((min(i, j), max(i, j)), int(dist))
         return
     for m in _split_mask(free_mask, max_hamming + 1):
         keys = h & np.uint64(m)

@@ -113,7 +113,17 @@ def bucketed_group_apply(ds: "ray.data.Dataset", keys: list[str], fn,
 
     block_refs = ds.to_arrow_refs()  # distributed blocks; refs only on driver
     if not block_refs:
-        return ray.data.from_pandas(fn(pd.DataFrame(columns=keys)))
+        # fn must see the FULL input schema even with zero blocks (fns
+        # read non-key columns); fall back to keys-only if the schema is
+        # unavailable
+        try:
+            import pyarrow as pa
+
+            sch = ds.schema(fetch_if_missing=True)
+            empty_df = pa.schema(list(zip(sch.names, sch.types))).empty_table().to_pandas()
+        except Exception:
+            empty_df = pd.DataFrame(columns=keys)
+        return ray.data.from_pandas(fn(empty_df))
 
     def _empty_result():
         # fn must see an empty frame with the INPUT's full schema (the

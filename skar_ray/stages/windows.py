@@ -376,14 +376,14 @@ def sliding_window_peak(ds: "ray.data.Dataset", window: str = "6h", step_hours: 
     w = np.timedelta64(int(pd.Timedelta(window).total_seconds()), "s")
 
     def sweep(ts: np.ndarray, anchors: np.ndarray) -> int:
-        peak = 0
-        j = 0
-        for i in range(len(ts)):
-            while ts[i] - ts[j] >= w:
-                j += 1
-            if anchors[i]:
-                peak = max(peak, i - j + 1)
-        return peak
+        # window (ts[i]-w, ts[i]]: start index = first j with ts[j] >
+        # ts[i]-w, fully vectorised (searchsorted over the sorted ts);
+        # anchors mask which events may anchor a window
+        if len(ts) == 0 or not anchors.any():
+            return 0
+        starts = np.searchsorted(ts, ts - w, side="right")
+        counts = np.arange(len(ts)) - starts + 1
+        return int(counts[anchors].max())
 
     if salt_freq is None:
         def per_user(g: pd.DataFrame) -> pd.DataFrame:

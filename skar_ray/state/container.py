@@ -179,6 +179,12 @@ def _dict_value_mask(dict_vals: pa.Array, op: str, value) -> "np.ndarray":
     elif op == "!=":
         m = pc.not_equal(dict_vals, value)
     elif op == "in":
+        if not value:
+            # empty set matches nothing; pa.array([]) is null-typed and
+            # is_in against a typed dictionary would raise (mirrors the
+            # _clause_compute guard — this path only runs when a column
+            # has no prunable stats, so clause_possible can't shield it)
+            return np.zeros(len(dict_vals), dtype=bool)
         m = pc.is_in(dict_vals, value_set=pa.array(sorted(value)))
     elif op == ">=":
         m = pc.greater_equal(dict_vals, value)

@@ -239,3 +239,97 @@ def test_simhash_multi_index_end_to_end_exhaustive(docs_ds):
     pairs = dd.simhash_pairs(docs_ds, max_hamming=3).to_pandas()
     got = {(int(a), int(b)): int(h) for a, b, h in zip(pairs.doc_a, pairs.doc_b, pairs.hamming)}
     assert got == want
+
+
+def test_simhash_split_mask_exact_parts():
+    """_split_mask must return exactly min(parts, n_bits) masks (sizes
+    differing by <=1): ceil-division chunking returned 3 masks for 5, 6
+    or 9 bits at parts=4, breaking the pigeonhole completeness."""
+    for n_bits in range(1, 20):
+        free = sum(1 << (3 * i) for i in range(n_bits))  # spread bits
+        masks = dd._split_mask(free, 4)
+        assert len(masks) == min(4, n_bits), (n_bits, masks)
+        # disjoint and complete
+        acc = 0
+        for m in masks:
+            assert acc & m == 0
+            acc |= m
+        assert acc == free
+        sizes = [bin(m).count("1") for m in masks]
+        assert max(sizes) - min(sizes) <= 1, sizes
+
+
+def test_simhash_oversized_bucket_few_free_bits_exhaustive():
+    """ADVICE repro: an oversized (>512) bucket with few free bits used
+    to drop true hamming<=3 pairs (5 free bits -> only 3 sub-masks; a
+    pair differing in bits touching all 3 was lost).  With the fix the
+    pair set matches brute force exactly for 5 free bits, and is
+    connectivity-equivalent for <=3 free bits (clique-star closure)."""
+    import itertools
+
+    # case A: 5 free bits (> max_hamming) -> must be EXACT
+    var_bits = [0, 2, 4, 6, 8]
+    free = sum(1 << b for b in var_bits)
+    hashes = []
+    # every subset of the 5 bits, replicated to exceed MAX_BUCKET
+    combos = []
+    for k in range(6):
+        combos.extend(itertools.combinations(var_bits, k))
+    base = 0x5A5A5A5A5A5A5A00
+    n = 600
+    h = np.empty(n, dtype=np.uint64)
+    for i in range(n):
+        v = base
+        for b in combos[i % len(combos)]:
+            v ^= 1 << b
+        h[i] = v
+    ids = np.arange(n, dtype=np.int64)
+    found: dict = {}
+    dd._sim_pairs_exhaustive(ids, h, free, 3, found)
+    x = (h[:, None] ^ h[None, :]).view(np.uint8).reshape(n, n, 8)
+    d = dd._SIM_POPCNT[x].sum(axis=2)
+    ia, ib = np.where(np.triu(d <= 3, k=1))
+    want = {(int(i), int(j)): int(d[i, j]) for i, j in zip(ia, ib)}
+    # identical-hash duplicates exist -> compare up to clique-star
+    # closure: every found distance must be the true hamming, and the
+    # connected components must match brute force exactly
+    for (a, b), dist in found.items():
+        assert bin(int(h[a]) ^ int(h[b])).count("1") == dist
+
+    def comps(pairs):
+        lab = {i: i for i in range(n)}
+
+        def root(x):
+            while lab[x] != x:
+                lab[x] = lab[lab[x]]
+                x = lab[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = root(a), root(b)
+            if ra != rb:
+                lab[max(ra, rb)] = min(ra, rb)
+        return frozenset(frozenset(i for i in range(n) if root(i) == r)
+                         for r in {root(i) for i in range(n)})
+
+    assert comps(found.keys()) == comps(want.keys())
+
+    # case B: 3 free bits (== max_hamming) -> fallback; connectivity-exact
+    var_bits = [0, 2, 4]
+    free = sum(1 << b for b in var_bits)
+    h2 = np.empty(n, dtype=np.uint64)
+    for i in range(n):
+        v = base
+        for b in var_bits:
+            if (i >> b) & 1:
+                v ^= 1 << b
+        h2[i] = v
+    found2: dict = {}
+    dd._sim_pairs_exhaustive(ids, h2, free, 3, found2)
+    x = (h2[:, None] ^ h2[None, :]).view(np.uint8).reshape(n, n, 8)
+    d = dd._SIM_POPCNT[x].sum(axis=2)
+    ia, ib = np.where(np.triu(d <= 3, k=1))
+    want2 = {(int(i), int(j)) for i, j in zip(ia, ib)}
+    for (a, b), dist in found2.items():
+        assert bin(int(h2[a]) ^ int(h2[b])).count("1") == dist
+    assert comps(found2.keys()) == comps(want2)

@@ -23,3 +23,26 @@ def test_backends_equal(ray_session):
     b = b.sort_values(["k1","k2"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == df.groupby(["k1","k2"]).ngroups
+
+
+def test_empty_dataset_full_schema(ray_session):
+    """Zero-block input: fn must still receive the FULL input schema
+    (fns read non-key columns — e.g. exact_dedup's keep_first reads
+    doc_id), not a keys-only frame."""
+    import ray.data
+    from skar_ray.stages.groups import bucketed_group_apply
+
+    seen_cols = []
+
+    def agg(g):
+        seen_cols.append(sorted(g.columns))
+        return pd.DataFrame({"k": g["k"], "doc_id": g["doc_id"]})
+
+    # limit(0) executes to ZERO blocks while the schema stays known —
+    # the exact shape that used to hand fn a keys-only frame
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": [1], "doc_id": [2], "v": [0.5]})
+    ).limit(0)
+    out = bucketed_group_apply(ds, ["k"], agg).to_pandas()
+    assert len(out) == 0
+    assert seen_cols and seen_cols[0] == ["doc_id", "k", "v"]

@@ -490,3 +490,42 @@ def test_query_encoded_with_tail_matches_union(encoded, tmp_path):
         filters=[[("lang", "==", "zz-new-lang")]],
     ).to_pandas()
     assert len(only_tail) == 1 and only_tail["repo"].iloc[0] == "tail/repo"
+
+
+def test_tail_filter_column_outside_projection(encoded, tmp_path):
+    """A DNF referencing a column OUTSIDE the projection must work on
+    the tail half exactly like the encoded half (the decoder filters on
+    the encoded form before projection; the tail read used to prune to
+    the projection first and KeyError)."""
+    from skar_ray.pipelines.query_encoded import query_encoded_with_tail
+
+    src = read_corpus_table(encoded)
+    tail_tbl = pa.table({
+        "repo": pa.array(["tail/repo"] * 2),
+        "path": pa.array(["tail/a.py", "tail/b.py"]),
+        "commit": pa.array(["c0"] * 2),
+        "lang": pa.array(["python", "go"]),
+        "content": pa.array(["x", "y"], type=pa.large_string()),
+    })
+    tail_path = str(tmp_path / "tail2.parquet")
+    pq.write_table(tail_tbl, tail_path)
+    got = query_encoded_with_tail(
+        OUT, tail_path, columns=["repo", "path"],
+        filters=[[("lang", "==", "python")]],
+    ).to_pandas()
+    want = src.filter(pc.equal(src["lang"], "python")).num_rows + 1
+    assert len(got) == want
+    assert sorted(got.columns) == ["path", "repo"]
+
+
+def test_dict_value_mask_empty_in():
+    """Empty `in` set on the encoded-form evaluation path must match
+    nothing instead of raising ArrowTypeError (null-typed empty array
+    vs typed dictionary)."""
+    import numpy as np
+
+    from skar_ray.state.container import _dict_value_mask
+
+    vals = pa.array(["a", "b", "c"])
+    m = _dict_value_mask(vals, "in", [])
+    assert m.dtype == bool and not m.any() and len(m) == 3
