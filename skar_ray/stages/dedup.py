@@ -78,39 +78,54 @@ def capped_pairs(ids: list, window: int = 8) -> list[tuple]:
 _BROADCAST_PAIR_LIMIT = 50_000
 _BROADCAST_ID_LIMIT = 100_000
 
-
-def _dedup_pairs_distributed(cand: "ray.data.Dataset", a: str, b: str):
-    """Candidate pairs WITHOUT a driver collection (round-2's residual
-    scale risk: a pathological near-dup-everything corpus makes the raw
-    pair list corpus-sized).  Pairs stay object-store-resident; only a
-    per-block ``drop_duplicates`` runs (no extra all-to-all — a global
-    pair-key groupby measured +20% on the whole pipeline in pure
-    exchange latency).  Cross-band duplicates that survive are
-    RE-VERIFIED redundantly — bounded at n_bands× (16×) extra verify
-    compute on the duplicate subset, never extra memory — and collapse
-    in the result-level ``drop_duplicates`` every caller applies.
-    Returns the materialized pair set plus its (duplicate-inclusive,
-    hence broadcast-conservative) count."""
-    mat = cand.map_batches(
-        lambda df: df.drop_duplicates(), batch_format="pandas"
-    ).materialize()
-    return mat, mat.count()
+# Per-worker-process cache for broadcast objects referenced from
+# task-pool closures.  Actor pools amortize ray.get in __init__ but pay
+# ~1 s pool spin-up per pipeline (measured; warm task workers run the
+# same stage in 0.2 s); task closures instead re-deserialize the ref
+# every task — this cache gives task pools the actor amortization.
+_REF_CACHE: dict = {}
 
 
-def _involved_ids(pairs: "ray.data.Dataset", a: str, b: str) -> np.ndarray:
-    """Distinct endpoint ids of the pair set, reduced per batch before
-    the (id-set-sized, not pair-set-sized) driver collection."""
-    import pyarrow.compute as pc
+def _cached_get(ref):
+    key = ref.hex()
+    if key not in _REF_CACHE:
+        if len(_REF_CACHE) > 8:
+            _REF_CACHE.clear()
+        _REF_CACHE[key] = ray.get(ref)
+    return _REF_CACHE[key]
 
-    def uniq(t: pa.Table) -> pa.Table:
-        both = pa.concat_arrays([
-            pc.cast(t.column(a), pa.int64()).combine_chunks(),
-            pc.cast(t.column(b), pa.int64()).combine_chunks(),
-        ])
-        return pa.table({"id": pc.unique(both)})
 
-    df = pairs.map_batches(uniq, batch_format="pyarrow").to_pandas()
-    return np.unique(df["id"].to_numpy()).astype(np.int64)
+@ray.remote(num_returns=3)
+def _pair_block_meta(t: pa.Table, a: str, b: str):
+    """Per-block dedupe + row count + distinct endpoint ids, one task —
+    fuses what used to be two Dataset jobs (`_dedup_pairs_distributed`
+    + `_involved_ids`) into a single raw-task wave over the exchange
+    output blocks.  The deduped table ref stays object-store-resident;
+    only the count and the (id-set-sized) ids come back to the driver."""
+    df = t.to_pandas().drop_duplicates()
+    ids = (np.unique(df[[a, b]].to_numpy(dtype=np.int64))
+           if len(df) else np.empty(0, dtype=np.int64))
+    return pa.Table.from_pandas(df, preserve_index=False), len(df), ids
+
+
+def _pair_blocks_meta(cand: "ray.data.Dataset", a: str, b: str):
+    """(deduped pairs Dataset, n_pairs, involved-id array) in one pass.
+    Cross-band duplicates that span blocks survive (bounded ×n_bands
+    redundant verification, collapsed by the result-level
+    drop_duplicates every caller applies) — same contract as the
+    Dataset-job version this replaces."""
+    refs = cand.to_arrow_refs()
+    if not refs:
+        return None, 0, np.empty(0, dtype=np.int64)
+    outs = [_pair_block_meta.remote(r, a, b) for r in refs]
+    counts = ray.get([o[1] for o in outs])
+    ids_parts = ray.get([o[2] for o in outs])
+    n_pairs = int(sum(counts))
+    if n_pairs == 0:
+        return None, 0, np.empty(0, dtype=np.int64)
+    need_ids = np.unique(np.concatenate([i for i in ids_parts if len(i)]))
+    keep = [o[0] for o, c in zip(outs, counts) if c > 0]
+    return ray.data.from_arrow_refs(keep), n_pairs, need_ids
 
 
 def _pairs_with_feature(
@@ -303,6 +318,37 @@ def band_rows(sigs: np.ndarray, doc_ids: np.ndarray, n_bands: int) -> pd.DataFra
     })
 
 
+_MINHASHER_CACHE: dict = {}
+
+
+def _minhash_bands(batch: pd.DataFrame, num_perm: int, k: int, n_bands: int,
+                   seed: int = 42) -> pd.DataFrame:
+    """Task-pool MinHasher: per-process cache replaces per-actor
+    __init__ state.  The coefficients cost microseconds to build, so an
+    actor pool's ~1 s spin-up per pipeline (every pipeline — pools are
+    not reused across jobs) bought nothing; warm task workers run the
+    whole 1.2-core-second stage in ~0.2 s."""
+    key = (num_perm, k, n_bands, seed)
+    mh = _MINHASHER_CACHE.get(key)
+    if mh is None:
+        mh = _MINHASHER_CACHE[key] = MinHasher(num_perm, k, seed, emit_bands=n_bands)
+    return mh(batch)
+
+
+def _shingle_feats(batch: pa.Table, ids_ref, k: int) -> pa.Table:
+    """Shingle ONLY pair-involved docs (id set via broadcast ref,
+    zero-copy numpy per task)."""
+    import pyarrow.compute as pc
+
+    ids = pa.array(_cached_get(ids_ref))
+    sub = batch.filter(pc.is_in(pc.cast(batch.column("doc_id"), pa.int64()), value_set=ids))
+    sh = [_hash_shingles(t.as_py(), k).tobytes() for t in sub.column("text")]
+    return pa.table({
+        "doc_id": pc.cast(sub.column("doc_id"), pa.int64()),
+        "sh": pa.array(sh, type=pa.large_binary()),
+    })
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.8,
@@ -313,63 +359,75 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs (doc_a < doc_b, jaccard >= threshold).
 
     shingle→minhash→band→bucket-groupby→candidates→exact-verify.
+    Stage-count-lean since r4: task pools with per-process state (no
+    actor spin-up), singleton band groups dropped vectorised in the
+    exchange, dedupe+count+involved-ids fused into one raw-task wave,
+    and feature-attach+verify fused into a single stage on the
+    broadcast path.
     """
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64()),
+                      "jaccard": pa.array([], type=pa.float64())})
     buckets = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, k=k, emit_bands=n_bands),
-        batch_format="pandas", concurrency=pool_size(),
+        _minhash_bands,
+        fn_kwargs=dict(num_perm=num_perm, k=k, n_bands=n_bands),
+        batch_format="pandas",
     )
 
     def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
         out = capped_pairs(g["doc_id"].tolist())
         return pd.DataFrame(out, columns=["doc_a", "doc_b"])
 
-    cand_ds, n_pairs = _dedup_pairs_distributed(
-        bucketed_group_apply(buckets, ["band_id", "band_hash"], pairs_of),
+    cand_ds, n_pairs, need_ids = _pair_blocks_meta(
+        bucketed_group_apply(buckets, ["band_id", "band_hash"], pairs_of,
+                             min_group_size=2),
         "doc_a", "doc_b",
     )
     if n_pairs == 0:
-        return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                         "doc_b": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
+        return empty
 
-    # exact verification, distributed: shingle ONLY the docs that appear
-    # in a candidate pair (id set broadcast once per actor), then two
-    # hash joins attach each endpoint's serialized shingle set
-    need_ids = _involved_ids(cand_ds, "doc_a", "doc_b")
+    # exact verification, distributed: shingle ONLY the docs that
+    # appear in a candidate pair
     ids_ref = ray.put(need_ids)
+    feats = ds.map_batches(_shingle_feats, fn_kwargs=dict(ids_ref=ids_ref, k=k),
+                           batch_format="pyarrow")
 
-    class Shingler:
-        def __init__(self, ref, k):
-            self.ids = pa.array(ray.get(ref))
-            self.k = k
+    if len(need_ids) <= _BROADCAST_ID_LIMIT:
+        # broadcast path: ship the involved-id shingle map once and do
+        # attach + jaccard + threshold in ONE task-pool stage
+        fdf = feats.to_pandas()  # pair-involved features only (bounded)
+        fmap_ref = ray.put(dict(zip(fdf["doc_id"].astype("int64"), fdf["sh"])))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+        def attach_verify(t: pa.Table) -> pa.Table:
+            f = _cached_get(fmap_ref)
+            out_a, out_b, out_j = [], [], []
+            for a_, b_ in zip(t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist()):
+                fa, fb = f.get(int(a_)), f.get(int(b_))
+                if fa is None or fb is None:
+                    continue  # inner-join semantics
+                j = jaccard(np.frombuffer(fa, dtype=np.uint64), np.frombuffer(fb, dtype=np.uint64))
+                if j >= threshold:
+                    out_a.append(a_); out_b.append(b_); out_j.append(j)
+            return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
+                             "doc_b": pa.array(out_b, type=pa.int64()),
+                             "jaccard": pa.array(out_j, type=pa.float64())})
 
-            sub = batch.filter(pc.is_in(pc.cast(batch.column("doc_id"), pa.int64()), value_set=self.ids))
-            sh = [_hash_shingles(t.as_py(), self.k).tobytes() for t in sub.column("text")]
-            return pa.table({
-                "doc_id": pc.cast(sub.column("doc_id"), pa.int64()),
-                "sh": pa.array(sh, type=pa.large_binary()),
-            })
+        res = cand_ds.map_batches(attach_verify, batch_format="pyarrow").to_pandas()
+    else:
+        joined = _pairs_with_feature(cand_ds, feats, n_pairs=n_pairs, n_ids=len(need_ids))
 
-    feats = ds.map_batches(Shingler, fn_constructor_args=(ids_ref, k),
-                           batch_format="pyarrow", concurrency=pool_size())
-    joined = _pairs_with_feature(cand_ds, feats, n_pairs=n_pairs, n_ids=len(need_ids))
+        def verify_batch(t: pa.Table) -> pa.Table:
+            out_a, out_b, out_j = [], [], []
+            for a_, b_, fa, fb in zip(t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist(),
+                                      t.column("f_a").to_pylist(), t.column("f_b").to_pylist()):
+                j = jaccard(np.frombuffer(fa, dtype=np.uint64), np.frombuffer(fb, dtype=np.uint64))
+                if j >= threshold:
+                    out_a.append(a_); out_b.append(b_); out_j.append(j)
+            return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
+                             "doc_b": pa.array(out_b, type=pa.int64()),
+                             "jaccard": pa.array(out_j, type=pa.float64())})
 
-    def verify_batch(t: pa.Table) -> pa.Table:
-        out_a, out_b, out_j = [], [], []
-        for a_, b_, fa, fb in zip(t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist(),
-                                  t.column("f_a").to_pylist(), t.column("f_b").to_pylist()):
-            j = jaccard(np.frombuffer(fa, dtype=np.uint64), np.frombuffer(fb, dtype=np.uint64))
-            if j >= threshold:
-                out_a.append(a_); out_b.append(b_); out_j.append(j)
-        return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
-                         "doc_b": pa.array(out_b, type=pa.int64()),
-                         "jaccard": pa.array(out_j, type=pa.float64())})
-
-    res = joined.map_batches(verify_batch, batch_format="pyarrow").to_pandas()
+        res = joined.map_batches(verify_batch, batch_format="pyarrow").to_pandas()
     res = res.drop_duplicates(subset=["doc_a", "doc_b"])
     res = res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(res.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}))
@@ -577,7 +635,8 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> pa.Table:
         arr = sorted((a_, b_, d_) for (a_, b_), d_ in found.items())
         return pd.DataFrame(arr, columns=["doc_a", "doc_b", "hamming"])
 
-    res = bucketed_group_apply(buckets, ["band", "key"], pairs_of).to_pandas()
+    res = bucketed_group_apply(buckets, ["band", "key"], pairs_of,
+                               min_group_size=2).to_pandas()
     if len(res) == 0 or "doc_a" not in res.columns:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64()),
@@ -837,8 +896,9 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
         out = capped_pairs(g["vec_id"].tolist())
         return pd.DataFrame(out, columns=["vec_a", "vec_b"])
 
-    cand_ds, n_pairs = _dedup_pairs_distributed(
-        bucketed_group_apply(buckets, ["table", "bucket"], pairs_of),
+    cand_ds, n_pairs, need_ids = _pair_blocks_meta(
+        bucketed_group_apply(buckets, ["table", "bucket"], pairs_of,
+                             min_group_size=2),
         "vec_a", "vec_b",
     )
     empty = pa.table(
@@ -851,7 +911,6 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
     if n_pairs == 0:
         return empty
 
-    need_ids = _involved_ids(cand_ds, "vec_a", "vec_b")
     ids_ref = ray.put(need_ids)
 
     class UnitVecs:

@@ -45,9 +45,19 @@ def _coarse_hash(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarra
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
-def _local_group_apply(g: pd.DataFrame, keys: list[str], fn) -> pd.DataFrame:
+def _local_group_apply(g: pd.DataFrame, keys: list[str], fn,
+                       min_group_size: int = 1) -> pd.DataFrame:
     if len(g) == 0:
         return fn(g)
+    if min_group_size > 1:
+        # vectorised pre-filter: pair-emitting fns (LSH banding et al.)
+        # produce nothing from sub-threshold groups, and ~95% of band
+        # groups are singletons — calling fn per singleton dominated
+        # the reduce wall time (measured 2.9 s of an 11 s dedup)
+        sizes = g.groupby(keys, sort=False)[keys[0]].transform("size")
+        g = g[sizes.to_numpy() >= min_group_size]
+        if len(g) == 0:
+            return fn(g)
     outs = [fn(sub) for _, sub in g.groupby(keys, sort=True)]
     outs = [o for o in outs if len(o)]
     if not outs:
@@ -75,11 +85,11 @@ def _split_block(tbl, keys: list[str], n_buckets: int) -> dict[int, "ray.ObjectR
 
 
 @ray.remote
-def _reduce_bucket(keys: list[str], fn, *parts) -> "pa.Table":
+def _reduce_bucket(keys: list[str], fn, min_group_size: int, *parts) -> "pa.Table":
     import pyarrow as pa
 
     df = pd.concat([p.to_pandas() for p in parts], ignore_index=True)
-    out = _local_group_apply(df, keys, fn)
+    out = _local_group_apply(df, keys, fn, min_group_size)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -90,11 +100,17 @@ def _n_rows(t) -> int:
 
 def bucketed_group_apply(ds: "ray.data.Dataset", keys: list[str], fn,
                          n_buckets: int | None = None,
-                         backend: str = "ray") -> "ray.data.Dataset":
+                         backend: str = "ray",
+                         min_group_size: int = 1) -> "ray.data.Dataset":
     """Apply ``fn`` once per distinct value of ``keys`` (pandas in,
     pandas out), co-locating fine groups via a coarse hash exchange.
     Results are identical across backends (equality-tested); rows of
-    one fine group always land in one reduce task."""
+    one fine group always land in one reduce task.
+
+    ``min_group_size``: fine groups smaller than this are dropped
+    VECTORISED before fn runs — only correct for fns that provably
+    return nothing on such groups (pair emitters); fns that must see
+    singletons (e.g. keep-first dedup) leave it at 1."""
     if n_buckets is None:
         n_buckets = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
 
@@ -103,7 +119,7 @@ def bucketed_group_apply(ds: "ray.data.Dataset", keys: list[str], fn,
             return df.assign(__cb=_coarse_hash(df, keys, n_buckets))
 
         def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            return _local_group_apply(g, keys, fn)
+            return _local_group_apply(g, keys, fn, min_group_size)
 
         return (
             ds.map_batches(coarse, batch_format="pandas")
@@ -142,7 +158,7 @@ def bucketed_group_apply(ds: "ray.data.Dataset", keys: list[str], fn,
     if not per_bucket_parts:
         return _empty_result()
     out_refs = [
-        _reduce_bucket.remote(keys, fn, *parts)
+        _reduce_bucket.remote(keys, fn, min_group_size, *parts)
         for _, parts in sorted(per_bucket_parts.items())
     ]
     # drop empty outputs so pandas-object empties can't pollute the
