@@ -744,15 +744,21 @@ def connected_components(pairs: pd.DataFrame, a: str = "doc_a", b: str = "doc_b"
 
 
 def connected_components_distributed(
-    pairs: "ray.data.Dataset", a: str = "doc_a", b: str = "doc_b", max_rounds: int = 50
-) -> pd.DataFrame:
+    pairs: "ray.data.Dataset", a: str = "doc_a", b: str = "doc_b", max_rounds: int = 50,
+    as_dataset: bool = False,
+):
     """Min-label propagation as Dataset rounds — the cluster-scale
     version of ``connected_components`` (which runs driver-side over
     the pair set).  Each round co-groups the edge list with the current
     labels by node (one groupby shuffle), emits each node's label to
     its neighbors, and takes the per-node min (a second small groupby);
-    converges in O(log diameter) rounds and stops early when no label
-    changes.  Returns the same (node, label) frame.
+    converges in O(log diameter) rounds.  Convergence is detected by a
+    DISTRIBUTED scalar: labels are monotonically non-increasing under
+    min propagation, so an unchanged ``sum(label)`` ⟺ fixpoint — no
+    per-round driver materialization of the label table.  Returns the
+    same (node, label) frame, or the labels Dataset with
+    ``as_dataset=True`` (cluster-scale callers anti-join against it
+    without ever collecting it).
     """
     def _i64(col) -> pa.Array:
         import pyarrow.compute as pc
@@ -781,6 +787,12 @@ def connected_components_distributed(
         if len(g) else pd.DataFrame({"node": [], "label": []}),
     ).materialize()
 
+    prev_sum = labels.sum("label") if labels.count() else None
+    if prev_sum is None:  # no edges at all: empty label set
+        empty = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                              "label": pd.Series([], dtype="int64")})
+        return ray.data.from_pandas(empty) if as_dataset else empty
+
     for _ in range(max_rounds):
         # stage A (co-group labels with edges by node): each node sends
         # its CURRENT label to itself and every neighbor
@@ -807,27 +819,82 @@ def connected_components_distributed(
             return pd.DataFrame({"node": [int(g["node"].iloc[0])], "label": [int(g["label"].min())]})
 
         new_labels = bucketed_group_apply(msgs, ["node"], take_min).materialize()
-        old = labels.to_pandas().set_index("node")["label"].sort_index()
-        new = new_labels.to_pandas().set_index("node")["label"].sort_index()
         labels = new_labels
-        if old.equals(new):
+        # distributed convergence scalar (one tiny aggregate, not a
+        # driver collect): min-propagation labels only ever decrease,
+        # so an unchanged sum means zero labels changed this round
+        s = labels.sum("label")
+        if s == prev_sum:
             break
+        prev_sum = s
+    if as_dataset:
+        return labels
     out = labels.to_pandas().astype({"node": "int64", "label": "int64"})
     return out.sort_values("node").reset_index(drop=True)
 
 
+# Above this many PAIRS the keep path goes fully distributed:
+# connected components as Dataset rounds and the drop set subtracted by
+# a bucketed anti-join — nothing cluster-sized ever on the driver.
+_KEEP_DISTRIBUTED_THRESHOLD = 1_000_000
+
+
 def dedup_keep_list(ds: "ray.data.Dataset", pairs: pd.DataFrame,
-                    id_col: str = "doc_id") -> pd.DataFrame:
+                    id_col: str = "doc_id",
+                    distributed_threshold: int = _KEEP_DISTRIBUTED_THRESHOLD) -> pd.DataFrame:
     """The actual dedup deliverable: keep the min-id document of every
-    near-dup cluster plus all unpaired documents."""
+    near-dup cluster plus all unpaired documents.
+
+    Pair sets up to ``distributed_threshold`` run connected components
+    driver-side (pairs ≪ corpus) and ship the drop set ONCE via
+    ``ray.put`` (a broadcast read per worker process, not a per-task
+    closure copy); larger pair sets switch to the fully distributed
+    path (``dedup_keep_list_distributed``) where neither the label
+    table nor the drop set ever materializes on the driver."""
+    if len(pairs) > distributed_threshold:
+        kept = dedup_keep_list_distributed(
+            ds, ray.data.from_pandas(pairs[["doc_a", "doc_b"]]), id_col=id_col
+        )
+        return kept.to_pandas().sort_values(id_col).reset_index(drop=True)
     comp = connected_components(pairs)
-    drop = set(comp.loc[comp["node"] != comp["label"], "node"].tolist())
+    drop_ref = ray.put(set(comp.loc[comp["node"] != comp["label"], "node"].tolist()))
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        drop = _cached_get(drop_ref)
         return batch[~batch[id_col].isin(drop)][[id_col]]
 
     out = ds.map_batches(keep, batch_format="pandas").to_pandas()
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def dedup_keep_list_distributed(
+    ds: "ray.data.Dataset", pairs: "ray.data.Dataset",
+    a: str = "doc_a", b: str = "doc_b", id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Cluster-scale keep list: min-label components as Dataset rounds,
+    drop rows (node != label) filtered vectorised, and the corpus id
+    column subtracted via the bucketed anti-join — rows moved are
+    |corpus ids| + |dropped ids|, and the driver holds only block refs.
+    Returns a Dataset of kept ``id_col`` rows (callers sort/collect at
+    their own scale)."""
+    import pyarrow.compute as pc
+
+    from .joins import bucket_anti_join
+
+    labels = connected_components_distributed(pairs, a=a, b=b, as_dataset=True)
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        node = pc.cast(t.column("node"), pa.int64())
+        lab = pc.cast(t.column("label"), pa.int64())
+        mask = pc.not_equal(node, lab)
+        return pa.table({id_col: pc.filter(node, mask)})
+
+    drop = labels.map_batches(drop_rows, batch_format="pyarrow")
+    ids = ds.map_batches(
+        lambda t: pa.table({id_col: pc.cast(t.column(id_col), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return bucket_anti_join(ids, drop, key=id_col)
 
 
 # ------------------------------------------------------ embedding cosine

@@ -135,3 +135,50 @@ def bucket_hash_join(
     # co-group via the shared raw-Ray hash exchange (no sample-sort
     # pass); the fine key IS the precomputed bucket id
     return bucketed_group_apply(both, ["__bucket"], join_bucket)
+
+
+def bucket_anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Left rows whose ``key`` has NO match in ``right`` — the
+    distributed complement of a closure-broadcast drop set.  Only
+    ``right``'s key column rides the exchange; per bucket the filter is
+    one vectorised ``isin``.  Scale shape: rows moved = |left| + |right|
+    key rows, nothing key-set-sized on the driver."""
+    l_schema = left.schema()
+    l_names = [n for n in l_schema.names if n != key]
+    l_types = dict(zip(l_schema.names, l_schema.types))
+
+    def tag(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            import polars as pl
+
+            kc = batch.column(key)
+            h = pl.from_arrow(kc.combine_chunks() if isinstance(kc, pa.ChunkedArray) else kc).hash(seed=7)
+            b = (h.to_numpy().astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+            cols = {key: batch.column(key)}
+            for n in l_names:
+                cols[n] = (batch.column(n) if side == "L"
+                           else pa.nulls(batch.num_rows, type=l_types[n]))
+            t = pa.table(cols)
+            t = t.append_column("__bucket", pa.array(b, type=pa.int64()))
+            return t.append_column("__side", pa.array([side] * len(b)))
+
+        return f
+
+    both = left.map_batches(tag("L"), batch_format="pyarrow").union(
+        right.select_columns([key]).map_batches(tag("R"), batch_format="pyarrow")
+    )
+
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "L"]
+        r_keys = g.loc[g["__side"] == "R", key]
+        return l.loc[~l[key].isin(r_keys), [key, *l_names]]
+
+    from .groups import bucketed_group_apply
+
+    return bucketed_group_apply(both, ["__bucket"], anti_bucket)

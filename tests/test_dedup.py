@@ -333,3 +333,38 @@ def test_simhash_oversized_bucket_few_free_bits_exhaustive():
     for (a, b), dist in found2.items():
         assert bin(int(h2[a]) ^ int(h2[b])).count("1") == dist
     assert comps(found2.keys()) == comps(want2)
+
+
+def test_keep_list_distributed_matches_driver(docs_ds):
+    """The cluster-scale keep path (distributed CC + bucketed anti-join,
+    nothing cluster-sized on the driver) must equal the driver-side
+    broadcast path on the same pairs."""
+    pairs = dd.minhash_lsh_pairs(docs_ds, threshold=0.7).to_pandas()
+    want = dd.dedup_keep_list(docs_ds, pairs)["doc_id"].tolist()
+    got = dd.dedup_keep_list(docs_ds, pairs, distributed_threshold=0)["doc_id"].tolist()
+    assert got == want
+    assert 0 in got and 100 not in got and 101 not in got
+
+
+def test_connected_components_distributed_as_dataset(ray_session):
+    import ray.data
+
+    pairs = pd.DataFrame({"doc_a": [1, 2, 10], "doc_b": [2, 3, 11]})
+    labels = dd.connected_components_distributed(ray.data.from_pandas(pairs), as_dataset=True)
+    got = labels.to_pandas().astype({"node": "int64", "label": "int64"}).sort_values("node").reset_index(drop=True)
+    want = dd.connected_components(pairs).sort_values("node").reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_bucket_anti_join(ray_session):
+    import ray.data
+
+    from skar_ray.stages.joins import bucket_anti_join
+
+    left = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64),
+                                              "x": np.arange(100) * 2}))
+    right = ray.data.from_pandas(pd.DataFrame({"doc_id": np.array([3, 5, 97, 200], dtype=np.int64)}))
+    out = bucket_anti_join(left, right, key="doc_id").to_pandas().sort_values("doc_id")
+    assert sorted(out["doc_id"]) == [i for i in range(100) if i not in (3, 5, 97)]
+    # non-key columns survive with their values
+    assert dict(zip(out["doc_id"], out["x"]))[10] == 20
