@@ -349,45 +349,27 @@ def _shingle_feats(batch: pa.Table, ids_ref, k: int) -> pa.Table:
     })
 
 
-def minhash_lsh_pairs(
+def _verify_jaccard_pairs(
     ds: "ray.data.Dataset",
-    threshold: float = 0.8,
-    num_perm: int = 128,
-    n_bands: int = 16,
-    k: int = 5,
+    cand_ds: "ray.data.Dataset",
+    n_pairs: int,
+    need_ids: np.ndarray,
+    k: int,
+    threshold: float,
 ) -> pa.Table:
-    """Near-duplicate pairs (doc_a < doc_b, jaccard >= threshold).
-
-    shingle→minhash→band→bucket-groupby→candidates→exact-verify.
-    Stage-count-lean since r4: task pools with per-process state (no
-    actor spin-up), singleton band groups dropped vectorised in the
-    exchange, dedupe+count+involved-ids fused into one raw-task wave,
-    and feature-attach+verify fused into a single stage on the
-    broadcast path.
-    """
+    """Shared exact-verification tail for the shingle-based dedup paths
+    (MinHash LSH and n-gram Jaccard blocking): re-shingle ONLY the docs
+    that appear in a candidate pair, attach both endpoints' shingle
+    sets, and keep pairs with jaccard >= threshold.  Small involved-id
+    sets broadcast the feature map once (``ray.put``) and fuse attach +
+    verify into one task-pool stage; larger sets ride two bucketed hash
+    joins (``_pairs_with_feature``) so nothing pair-set-sized touches
+    the driver."""
     empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
                       "doc_b": pa.array([], type=pa.int64()),
                       "jaccard": pa.array([], type=pa.float64())})
-    buckets = ds.map_batches(
-        _minhash_bands,
-        fn_kwargs=dict(num_perm=num_perm, k=k, n_bands=n_bands),
-        batch_format="pandas",
-    )
-
-    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
-        out = capped_pairs(g["doc_id"].tolist())
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
-
-    cand_ds, n_pairs, need_ids = _pair_blocks_meta(
-        bucketed_group_apply(buckets, ["band_id", "band_hash"], pairs_of,
-                             min_group_size=2),
-        "doc_a", "doc_b",
-    )
     if n_pairs == 0:
         return empty
-
-    # exact verification, distributed: shingle ONLY the docs that
-    # appear in a candidate pair
     ids_ref = ray.put(need_ids)
     feats = ds.map_batches(_shingle_feats, fn_kwargs=dict(ids_ref=ids_ref, k=k),
                            batch_format="pyarrow")
@@ -428,9 +410,45 @@ def minhash_lsh_pairs(
                              "jaccard": pa.array(out_j, type=pa.float64())})
 
         res = joined.map_batches(verify_batch, batch_format="pyarrow").to_pandas()
+    if len(res) == 0:
+        return empty
     res = res.drop_duplicates(subset=["doc_a", "doc_b"])
     res = res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(res.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}))
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    n_bands: int = 16,
+    k: int = 5,
+) -> pa.Table:
+    """Near-duplicate pairs (doc_a < doc_b, jaccard >= threshold).
+
+    shingle→minhash→band→bucket-groupby→candidates→exact-verify.
+    Stage-count-lean since r4: task pools with per-process state (no
+    actor spin-up), singleton band groups dropped vectorised in the
+    exchange, dedupe+count+involved-ids fused into one raw-task wave,
+    and feature-attach+verify fused into a single stage on the
+    broadcast path.
+    """
+    buckets = ds.map_batches(
+        _minhash_bands,
+        fn_kwargs=dict(num_perm=num_perm, k=k, n_bands=n_bands),
+        batch_format="pandas",
+    )
+
+    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+        out = capped_pairs(g["doc_id"].tolist())
+        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+
+    cand_ds, n_pairs, need_ids = _pair_blocks_meta(
+        bucketed_group_apply(buckets, ["band_id", "band_hash"], pairs_of,
+                             min_group_size=2),
+        "doc_a", "doc_b",
+    )
+    return _verify_jaccard_pairs(ds, cand_ds, n_pairs, need_ids, k, threshold)
 
 
 # ---------------------------------------------------------------- simhash
@@ -661,49 +679,56 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5, k: int =
     group by the size-band population, not the corpus (round-1 version
     was all-pairs per language = O(n²) at scale).  Exactness: the same
     pair set is produced, deduplicated across bands.
+
+    Data movement follows the MinHash shape (r4): the exchange carries
+    ONLY (block, doc_id, band) rows — round-3 serialized each doc's
+    full shingle-hash array into every replicated band row, the one
+    remaining pipeline shipping corpus-sized features through a
+    shuffle.  Blocking emits candidate pairs; exact jaccard is then
+    verified by re-shingling ONLY pair-involved docs via the shared
+    ``_verify_jaccard_pairs`` tail (recompute beats replicating
+    doc-sized payloads ×(reach+1) through an all-to-all at scale).
     """
     reach = max(1, int(np.ceil(np.log2(1.0 / max(threshold, 1e-9)))))
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for r in batch.itertuples():
-            sh = _hash_shingles(r.text, k)
-            band = int(np.log2(max(1, len(sh))))
-            key = getattr(r, group_col)
-            for b in range(band, band + reach + 1):
-                rows.append((f"{key}|{b}", int(r.doc_id), band, sh.tobytes()))
-        return pd.DataFrame(rows, columns=["block", "doc_id", "band", "sh"])
+        n = len(batch)
+        counts = np.empty(n, dtype=np.int64)
+        for i, text in enumerate(batch["text"]):
+            counts[i] = len(_hash_shingles(text, k))
+        band = np.log2(np.maximum(1, counts)).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        keys = batch[group_col].astype(str).to_numpy()
+        # replicate upward into bands band..band+reach, numpy-built
+        rep = np.repeat(np.arange(n), reach + 1)
+        blk_band = band[rep] + np.tile(np.arange(reach + 1), n)
+        return pd.DataFrame({
+            "block": pd.Series(keys[rep]).str.cat(blk_band.astype(str), sep="|"),
+            "doc_id": ids[rep],
+            "band": band[rep],
+        })
 
     blocked = ds.map_batches(explode_bands, batch_format="pandas")
 
-    def within(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
         blk_band = int(str(g["block"].iloc[0]).rsplit("|", 1)[1])
-        by_id = {int(i): np.frombuffer(s, dtype=np.uint64) for i, s in zip(g["doc_id"], g["sh"])}
         own = dict(zip((int(i) for i in g["doc_id"]), (int(b) for b in g["band"])))
-        out = []
-        for a_, b_ in capped_pairs(list(by_id)):
-            if max(own[a_], own[b_]) != blk_band:
-                # Evaluate each pair exactly once, in the HIGHER doc's own
-                # band: docs replicate upward (bands b..b+reach), so a pair
-                # with bands bA <= bB co-occurs only in blocks with band
-                # >= bB — the lower doc's own band never contains the
-                # higher doc.
-                continue
-            j = jaccard(by_id[a_], by_id[b_])
-            if j >= threshold:
-                out.append((a_, b_, j))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+        # Emit each pair exactly once, in the HIGHER doc's own band:
+        # docs replicate upward (bands b..b+reach), so a pair with
+        # bands bA <= bB co-occurs only in blocks with band >= bB —
+        # the lower doc's own band never contains the higher doc.
+        out = [(a_, b_) for a_, b_ in capped_pairs(list(own))
+               if max(own[a_], own[b_]) == blk_band]
+        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
 
-    res = bucketed_group_apply(blocked, ["block"], within).to_pandas()
-    res = res.drop_duplicates(subset=["doc_a", "doc_b"]) if len(res) else res
-    if len(res) == 0 or "doc_a" not in res.columns:
-        return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                         "doc_b": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
-    res = res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(res.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}))
+    cand_ds, n_pairs, need_ids = _pair_blocks_meta(
+        bucketed_group_apply(blocked, ["block"], pairs_of, min_group_size=2),
+        "doc_a", "doc_b",
+    )
+    return _verify_jaccard_pairs(ds, cand_ds, n_pairs, need_ids, k, threshold)
 
 
 # ---------------------------------------------------------- clustering
