@@ -134,6 +134,7 @@ def run_encode_job(
     concurrency: int | None = None,
     codec_overrides: dict[str, str] | None = None,
     profile: str = "max",
+    validate: bool = True,
 ) -> pa.Table:
     if profile == "fast" and codec_overrides is None:
         codec_overrides = FAST_PROFILE_OVERRIDES
@@ -168,6 +169,7 @@ def run_encode_job(
                 input_fingerprint=input_fingerprint,
                 done_ids=frozenset(done.keys()),
                 codec_overrides=codec_overrides,
+                validate=validate,
             ),
             batch_format="pyarrow",
             batch_size=None,  # one call per input block
@@ -189,6 +191,7 @@ def run_encode_job(
         summary = run_hashed_encode(
             corpus_path, out_dir, plan, chunk_target_bytes, input_fingerprint,
             skip_pkeys=frozenset(done.keys()), codec_overrides=codec_overrides,
+            validate=validate,
         )
         if done:
             import pandas as pd
@@ -237,7 +240,8 @@ def run_encode_job(
             )
         enc = keyed.groupby("pkey").map_groups(
             lambda g: encode_partition(
-                g, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides
+                g, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides,
+                validate=validate,
             ),
             batch_format="pyarrow",
         )

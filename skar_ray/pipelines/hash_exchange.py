@@ -77,10 +77,11 @@ def _map_split(paths: list[str], plan: "partitioner.PartitionPlan",
 @ray.remote
 def _reduce_encode(pkey: int, refs: list["ray.ObjectRef"], out_dir: str,
                    chunk_target_bytes: int, input_fingerprint: str,
-                   codec_overrides: dict | None) -> dict:
+                   codec_overrides: dict | None, validate: bool = True) -> dict:
     tables = ray.get(list(refs))
     t = pa.concat_tables(tables).combine_chunks() if len(tables) > 1 else tables[0]
-    summary = encode_partition(t, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides)
+    summary = encode_partition(t, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides,
+                               validate=validate)
     return {k: summary.column(k)[0].as_py() for k in summary.column_names}
 
 
@@ -93,6 +94,7 @@ def run_hashed_encode(
     skip_pkeys: frozenset[int] = frozenset(),
     codec_overrides: dict | None = None,
     files_per_map: int | None = None,
+    validate: bool = True,
 ) -> pa.Table:
     paths = (
         [os.path.join(corpus_path, f) for f in sorted(os.listdir(corpus_path)) if f.endswith(".parquet")]
@@ -142,7 +144,8 @@ def run_hashed_encode(
             refs = [done_maps[gi][pk] for gi in sorted(needed) if pk in done_maps[gi]]
             if refs:
                 futs.append(_reduce_encode.remote(
-                    pk, refs, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides
+                    pk, refs, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides,
+                    validate,
                 ))
             launched.add(pk)
 
@@ -161,7 +164,8 @@ def run_hashed_encode(
                 leftovers.setdefault(pk, []).append(ref)
     for pk, refs in sorted(leftovers.items()):
         futs.append(_reduce_encode.remote(
-            pk, refs, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides
+            pk, refs, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides,
+            validate,
         ))
     rows = ray.get(futs)
     if not rows:

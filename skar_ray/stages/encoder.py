@@ -94,8 +94,16 @@ def encode_partition(
     chunk_target_bytes: int = 32 << 20,
     input_fingerprint: str = "",
     codec_overrides: dict[str, str] | None = None,
+    validate: bool = True,
 ) -> pa.Table:
-    """Encode one partition; returns a 1-row summary table."""
+    """Encode one partition; returns a 1-row summary table.
+
+    ``validate=True`` (default) decode-verifies the temp container —
+    content column round-trip vs the partition sha256 digest already in
+    hand — BEFORE the atomic rename and manifest row, mirroring the
+    reference's validate-then-publish ordering (skar_runner.rs:309-321,
+    validate_parquet.rs:17-66): a corrupted encode raises instead of
+    being published and resume-skipped until a later verify job."""
     t0 = time.time()
     if group.num_rows == 0:
         return pa.table(
@@ -128,12 +136,27 @@ def encode_partition(
     slices = chunk_slices(data, chunk_target_bytes)
     fname = f"part-{pid:06d}.skarc"
     os.makedirs(out_dir, exist_ok=True)
+
+    validator = None
+    if validate and digests:
+        def validator(tmp_path: str) -> None:
+            tv = time.time()
+            dec = container.read_container(tmp_path, columns=["content"])
+            got = partition_digest(row_sha256(dec))
+            timings["validate"] = time.time() - tv
+            if got != pdigest:
+                raise IOError(
+                    f"partition {pid}: encoded container failed pre-publish "
+                    f"decode verification (digest {got[:12]} != {pdigest[:12]})"
+                )
+
     header = container.write_container(
         os.path.join(out_dir, fname),
         data,
         chunk_rows=slices,
         codec_overrides=codec_overrides,
         extra={"partition_id": pid, "sort_keys": SORT_KEYS},
+        validator=validator,
     )
     timings["encode_write"] = time.time() - t1
 
@@ -217,7 +240,7 @@ class ShardEncoder:
 
     def __init__(self, out_dir: str, chunk_target_bytes: int = 32 << 20,
                  input_fingerprint: str = "", done_ids: frozenset[int] = frozenset(),
-                 codec_overrides: dict[str, str] | None = None):
+                 codec_overrides: dict[str, str] | None = None, validate: bool = True):
         # warm the codec registry + zstd context once per actor
         from ..codecs import auto  # noqa: F401
 
@@ -226,6 +249,7 @@ class ShardEncoder:
         self.input_fingerprint = input_fingerprint
         self.done_ids = done_ids
         self.codec_overrides = codec_overrides
+        self.validate = validate
 
     def _block_pid(self, batch: pa.Table) -> int:
         """Content-derived partition id for resume.  Hashes the full key
@@ -269,5 +293,5 @@ class ShardEncoder:
         batch = batch.append_column("pkey", pa.array(np.full(batch.num_rows, pid), type=pa.int64()))
         return encode_partition(
             batch, self.out_dir, self.chunk_target_bytes, self.input_fingerprint,
-            self.codec_overrides,
+            self.codec_overrides, validate=self.validate,
         )

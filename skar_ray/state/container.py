@@ -61,11 +61,19 @@ def _chunk_stats(name: str, col) -> dict | None:
 
 def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]] | None = None,
                     codec_overrides: dict[str, str] | None = None,
-                    extra: dict | None = None) -> dict:
+                    extra: dict | None = None, validator=None) -> dict:
     """Encode `table` chunk-by-chunk and write the container atomically.
 
     ``chunk_rows`` is a list of (offset, length) slices; default one
     chunk.  Returns the header dict (with per-column byte accounting).
+
+    ``validator``, if given, is called with the TEMP file path after
+    the write and before the publishing rename — the reference
+    re-reads and validates the written Parquet before its atomic
+    rename + manifest insert (/root/reference/skar/src/
+    skar_runner.rs:309-321, validate_parquet.rs:17-66).  A raising
+    validator removes the temp file and propagates, so a silently
+    corrupted encode is never published (and never resume-skipped).
     """
     if chunk_rows is None:
         chunk_rows = [(0, table.num_rows)]
@@ -151,6 +159,12 @@ def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]
         f.write(hz)
         for b in blobs:
             f.write(b)
+    if validator is not None:
+        try:
+            validator(tmp)
+        except Exception:
+            os.unlink(tmp)
+            raise
     os.replace(tmp, path)
     return header
 

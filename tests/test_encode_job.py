@@ -196,3 +196,47 @@ def test_corrupted_container_fails_verification(ray_session, tmp_path):
         f.write(bytes([b[0] ^ 0xFF]))
     with pt.raises(Exception):
         run_verify_job(corpus, out)
+
+
+def test_validate_before_publish_blocks_corrupt_encode(ray_session, tmp_path, monkeypatch):
+    """The reference validates the written file BEFORE the atomic rename
+    and manifest insert (skar_runner.rs:309-321): a corrupted encode
+    must raise during the encode job and publish NOTHING — no .skarc,
+    no temp file, no manifest row — rather than surfacing only in a
+    later verify job."""
+    import glob
+
+    import pyarrow as pa
+
+    from skar_ray.corpus import ensure_corpus, read_corpus_table
+    from skar_ray.stages import encoder
+    from skar_ray.state import container as cont
+
+    d = ensure_corpus(500)
+    t = read_corpus_table(os.path.join(d, "corpus.parquet")).slice(0, 200)
+    t = t.append_column("pkey", pa.array([7] * t.num_rows, type=pa.int64()))
+    out = str(tmp_path / "enc")
+
+    real_read = cont.read_container
+
+    def corrupted_read(path, *a, **kw):
+        dec = real_read(path, *a, **kw)
+        # swap one content value: decode "succeeded" but is wrong
+        col = dec.column("content").to_pylist()
+        col[0] = (col[0] or "") + "!"
+        return pa.table({"content": pa.array(col, type=dec.column("content").type)})
+
+    monkeypatch.setattr(cont, "read_container", corrupted_read)
+    with pytest.raises(IOError, match="pre-publish"):
+        encoder.encode_partition(t, out, chunk_target_bytes=1 << 20)
+    assert glob.glob(os.path.join(out, "*.skarc")) == []
+    assert glob.glob(os.path.join(out, "*.tmp*")) == []
+    assert not os.path.exists(os.path.join(out, "_manifest", "part-000007.json"))
+
+    # untampered encode publishes and records the validate timing
+    monkeypatch.setattr(cont, "read_container", real_read)
+    s = encoder.encode_partition(t, out, chunk_target_bytes=1 << 20)
+    assert s.num_rows == 1 and not s.column("skipped")[0].as_py()
+    assert glob.glob(os.path.join(out, "*.skarc"))
+    m = manifest.read_manifest(out, 7)
+    assert "validate" in m.extra["timings"]
