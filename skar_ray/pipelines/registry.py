@@ -258,11 +258,33 @@ def query_encoded_tail(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _decoded_identity(out_dir: str) -> pd.DataFrame:
+    """Identity frame of a decoded store: every key column plus
+    md5(content) per row — SQL-hash-verifiable against the source
+    corpus parquet (DuckDB recomputes md5 independently), turning the
+    job-lifecycle queries from rows-only checks into full value
+    matches the same way the encode_roundtrip_* oracles work."""
+    from .decode_job import decoded_dataset
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "repo": batch["repo"], "path": batch["path"],
+            "commit": batch["commit"], "lang": batch["lang"],
+            "content_md5": batch["text" if "text" in batch else "content"].map(
+                lambda s: hashlib.md5(s.encode()).hexdigest()),
+        })
+
+    out = decoded_dataset(out_dir).map_batches(fp, batch_format="pandas").to_pandas()
+    return out.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+
+
 def append_corpus(sf_dir: str) -> pd.DataFrame:
     """Incremental-append lifecycle (skar's tip-following flush,
     skar_runner.rs:285-370): encode the first half of the corpus, append
-    the second half, return the (deterministic) final manifest summary —
-    proving only touched partitions re-encode and the result verifies."""
+    the second half.  Internal asserts prove only touched partitions
+    re-encode and digests verify; the RETURN is the decoded post-append
+    store's identity frame, SQL-hash-verified against the full source
+    corpus (r4 — was a rows-only manifest summary)."""
     import pyarrow.parquet as _pq
 
     from ..corpus import ensure_corpus, read_corpus_table, rows_for_sf, sf_from_dir
@@ -292,9 +314,8 @@ def append_corpus(sf_dir: str) -> pd.DataFrame:
         _pq.write_table(full.slice(half), os.path.join(src, "delta.parquet"))
         v = run_verify_job(src, out)
         assert v["rows_match"] and v["digests_verified"], (r, v)
-        ms = manifest_mod.scan_manifests(out)
-        rows = sorted((m.partition_id, m.n_rows, m.content_sha256) for m in ms.values())
-        return pd.DataFrame(rows, columns=["partition_id", "n_rows", "content_sha256"])
+        assert manifest_mod.scan_manifests(out), "append produced no partitions"
+        return _decoded_identity(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -321,8 +342,10 @@ def store_stats_corpus(sf_dir: str) -> pd.DataFrame:
 
 def compact_corpus(sf_dir: str) -> pd.DataFrame:
     """Compaction lifecycle (skar's accumulate→compact): encode a small
-    corpus deliberately fragmented, compact into larger partitions,
-    return the (deterministic) destination manifest summary."""
+    corpus deliberately fragmented, compact into larger partitions.
+    The compact job's own row/digest checks stay as asserts; the RETURN
+    is the decoded post-compaction store's identity frame,
+    SQL-hash-verified against the source corpus (r4)."""
     from ..corpus import ensure_corpus, rows_for_sf, sf_from_dir
     from .compact_job import run_compact_job
     from .encode_job import run_encode_job
@@ -338,11 +361,8 @@ def compact_corpus(sf_dir: str) -> pd.DataFrame:
                        mode="hashed", resume=False)
         r = run_compact_job(src, dst, target_partition_bytes=16 << 20, chunk_target_bytes=8 << 20)
         assert r["rows_match"], r
-        ms = manifest_mod.scan_manifests(dst)
-        rows = sorted(
-            (m.partition_id, m.n_rows, m.content_sha256) for m in ms.values()
-        )
-        return pd.DataFrame(rows, columns=["partition_id", "n_rows", "content_sha256"])
+        assert manifest_mod.scan_manifests(dst), "compaction produced no partitions"
+        return _decoded_identity(dst)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
@@ -745,6 +765,25 @@ _LANG_PROFILE_VALUES = ", ".join(
     f"('{l}','{w}')" for l, ws in sorted(_LP.items()) for w in sorted(ws)
 )
 
+# Corpus-backed oracle paths: pinned to the sf0.01 corpus sizes (the
+# driver's correctness scale; `tools/check_oracles.py` defaults to the
+# same).  The Ray callable runs first and materializes the cached
+# corpus, so the oracle's direct parquet read always finds it.
+from ..corpus import corpus_cache_dir as _corpus_cache_dir
+from ..corpus import rows_for_sf as _rows_for_sf
+
+_CORPUS_GLOB_20K = os.path.join(
+    _corpus_cache_dir(_rows_for_sf(0.01, cap=20000)), "corpus.parquet", "*.parquet"
+)
+_CORPUS_GLOB_5K = os.path.join(
+    _corpus_cache_dir(_rows_for_sf(0.01, cap=5000)), "corpus.parquet", "*.parquet"
+)
+# "commit" is a reserved word in DuckDB — quoted
+_CORPUS_IDENTITY_SQL = (
+    'SELECT repo, path, "commit", lang, md5(content) AS content_md5 '
+    "FROM '{glob}'"
+)
+
 QUERIES: dict[str, tuple] = {
     # (callable, oracle_sql or None)
     "range_filter": (
@@ -926,7 +965,11 @@ QUERIES: dict[str, tuple] = {
         "SELECT event_id, event_type, value FROM events",
     ),
     "encode_corpus_flagship": (encode_corpus_flagship, None),
-    "query_encoded_corpus": (query_encoded_corpus, None),
+    "query_encoded_corpus": (
+        query_encoded_corpus,
+        f"SELECT repo, path, lang FROM '{_CORPUS_GLOB_20K}' "
+        "WHERE lang = 'go' OR (lang = 'python' AND path LIKE 'src/%')",
+    ),
     "query_encoded_documents": (
         query_encoded_documents,
         "SELECT doc_id, lang, source, n_chars FROM documents "
@@ -943,8 +986,8 @@ QUERIES: dict[str, tuple] = {
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE lang = 'en' AND n_chars >= 300",
     ),
-    "compact_corpus": (compact_corpus, None),
-    "append_corpus": (append_corpus, None),
+    "compact_corpus": (compact_corpus, _CORPUS_IDENTITY_SQL.format(glob=_CORPUS_GLOB_5K)),
+    "append_corpus": (append_corpus, _CORPUS_IDENTITY_SQL.format(glob=_CORPUS_GLOB_5K)),
     "store_stats_corpus": (store_stats_corpus, None),
     # text analysis
     "token_count": (
