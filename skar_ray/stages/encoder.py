@@ -138,16 +138,24 @@ def encode_partition(
     os.makedirs(out_dir, exist_ok=True)
 
     validator = None
-    if validate and digests:
+    if validate and "content" in data.column_names:
         def validator(tmp_path: str) -> None:
+            # decode the written temp file and compare BIT-EXACT against
+            # the in-memory source column (Arrow C++ equality ≈ memcmp —
+            # strictly stronger than re-hashing, and skips a redundant
+            # 2nd sha256 pass; the digest-based check remains the
+            # independent cross-process re-verification, run_verify_job)
             tv = time.time()
             dec = container.read_container(tmp_path, columns=["content"])
-            got = partition_digest(row_sha256(dec))
+            got = dec.column("content").combine_chunks()
+            src = data.column("content")
+            if isinstance(src, pa.ChunkedArray):
+                src = src.combine_chunks()
             timings["validate"] = time.time() - tv
-            if got != pdigest:
+            if not got.equals(src):
                 raise IOError(
                     f"partition {pid}: encoded container failed pre-publish "
-                    f"decode verification (digest {got[:12]} != {pdigest[:12]})"
+                    f"decode verification (content column not bit-identical)"
                 )
 
     header = container.write_container(
