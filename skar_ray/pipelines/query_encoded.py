@@ -26,11 +26,39 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ..stages.decoder import DecoderActor
+from ..stages.decoder import DecoderActor, decode_manifest_batch
 from ..state import manifest as manifest_mod
 
 Clause = tuple[str, str, Any]
 DNF = list[list[Clause]]
+
+
+def _decode_stage(mds, rows, concurrency, **decode_kwargs):
+    """Decode manifest rows → Arrow, adaptively: small scans run as a
+    TASK pool (per-worker-process header cache, no actor spinup — the
+    ~1 s/stage actor startup dominates second-scale queries), large
+    partition counts as the ``DecoderActor`` pool (amortized per-actor
+    state, bounded pool for the 100 TB path)."""
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    if len(rows) <= 4 * ncpu:
+        return mds.map_batches(
+            decode_manifest_batch, fn_kwargs=decode_kwargs,
+            batch_format="pyarrow", batch_size=1,
+        )
+    if isinstance(concurrency, tuple):
+        # floor the pool at the known work set, capped at the CPU count
+        # (autoscaling from 1 actor dominates second-scale scans; floors
+        # beyond the CPUs oversubscribe small sessions)
+        concurrency = (max(concurrency[0], min(len(rows), ncpu, concurrency[1])), concurrency[1])
+    return mds.map_batches(
+        DecoderActor,
+        fn_constructor_kwargs=decode_kwargs,
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency,
+    )
 
 
 def prune_partitions(manifests: dict[int, manifest_mod.PartitionManifest], dnf: DNF | None) -> list[int]:
@@ -126,20 +154,10 @@ def query_encoded_budgeted(
         }
         for pid in pids
     ]
-    if isinstance(concurrency, tuple):
-        import ray as _ray
-
-        _ncpu = int(_ray.cluster_resources().get("CPU", 8))
-        concurrency = (max(concurrency[0], min(len(rows), _ncpu, concurrency[1])), concurrency[1])
-    ds = ray.data.from_items(rows).map_batches(
-        DecoderActor,
-        fn_constructor_kwargs=dict(
-            out_dir=out_dir, columns=want_cols, verify=False, dnf=filters,
-            apply_dnf=bool(filters), tag_partition=True,
-        ),
-        batch_format="pyarrow",
-        batch_size=1,
-        concurrency=concurrency,
+    ds = _decode_stage(
+        ray.data.from_items(rows), rows, concurrency,
+        out_dir=out_dir, columns=want_cols, verify=False, dnf=filters,
+        apply_dnf=bool(filters), tag_partition=True,
     )
     done: dict[int, list[pa.Table]] = {}
     got_rows: dict[int, int] = {}
@@ -233,30 +251,16 @@ def query_encoded(
         }
         for pid in pids
     ]
-    if concurrency is not None and isinstance(concurrency, tuple):
-        # floor the pool at the known work set, capped at the CPU count
-        # (autoscaling from 1 actor dominates second-scale scans; floors
-        # beyond the CPUs oversubscribe small sessions)
-        import ray as _ray
-
-        _ncpu = int(_ray.cluster_resources().get("CPU", 8))
-        concurrency = (max(concurrency[0], min(len(rows), _ncpu, concurrency[1])), concurrency[1])
-    mds = ray.data.from_items(rows)
     # §2.10 encoded-form evaluation: the FULL DNF is evaluated inside
     # the container reader — per-chunk stats (min/max/distinct/SBBF)
     # prune chunks, then each clause runs on the dict/rle CODE stream or
     # FoR int stream where the codec supports it (decode+compare
     # otherwise), so filter columns are materialized only as needed and
     # all-false chunks never decode the projection
-    ds = mds.map_batches(
-        DecoderActor,
-        fn_constructor_kwargs=dict(
-            out_dir=out_dir, columns=columns, verify=False, dnf=filters,
-            apply_dnf=bool(filters),
-        ),
-        batch_format="pyarrow",
-        batch_size=1,
-        concurrency=concurrency,
+    ds = _decode_stage(
+        ray.data.from_items(rows), rows, concurrency,
+        out_dir=out_dir, columns=columns, verify=False, dnf=filters,
+        apply_dnf=bool(filters),
     )
     if limit is not None:
         ds = ds.limit(limit)

@@ -25,6 +25,11 @@ from ..stages import ann, dedup, joins, multimodal, text, windows
 from . import queries as Q
 from ..runtime import pool_size
 
+# Phase timings of the most recent call per query (bench introspection:
+# the query_encoded_* entries time store-encode + query together from the
+# outside; this splits them so the query path's cost is visible).
+PHASE_TIMINGS: dict[str, dict[str, float]] = {}
+
 # --------------------------------------------------------------- engine ops
 
 
@@ -178,18 +183,25 @@ def query_encoded_documents(sf_dir: str) -> pd.DataFrame:
     from .encode_job import run_encode_job
     from .query_encoded import query_encoded
 
+    import time as _time
+
     out = tempfile.mkdtemp(prefix="skar_qenc_docs_")
     try:
+        t0 = _time.time()
         run_encode_job(
             f"{sf_dir}/documents.parquet", out, mode="sharded",
             chunk_target_bytes=256 << 10, resume=False,
         )
+        t1 = _time.time()
         res = query_encoded(
             out,
             columns=["doc_id", "lang", "source", "n_chars"],
             filters=[[("lang", "==", "en"), ("n_chars", ">=", 400)],
                      [("source", "==", "src7"), ("n_chars", "<", 150)]],
         ).to_pandas()
+        PHASE_TIMINGS["query_encoded_documents"] = {
+            "encode_s": round(t1 - t0, 3), "query_s": round(_time.time() - t1, 3),
+        }
         return res.sort_values("doc_id").reset_index(drop=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -207,20 +219,27 @@ def query_encoded_join(sf_dir: str) -> pd.DataFrame:
     from .encode_job import run_encode_job
     from .query_encoded import query_encoded_semi_join
 
+    import time as _time
+
     work = tempfile.mkdtemp(prefix="skar_qenc_join_")
     try:
         store_c = os.path.join(work, "customer")
         store_o = os.path.join(work, "orders")
+        t0 = _time.time()
         run_encode_job(f"{sf_dir}/customer.parquet", store_c, mode="sharded",
                        chunk_target_bytes=128 << 10, resume=False)
         run_encode_job(f"{sf_dir}/orders.parquet", store_o, mode="sharded",
                        chunk_target_bytes=128 << 10, resume=False)
+        t1 = _time.time()
         res = query_encoded_semi_join(
             store_c, store_o, key_a="c_custkey", key_b="o_custkey",
             dnf_a=[[("c_mktsegment", "==", "BUILDING")]],
             dnf_b=[[("o_orderstatus", "==", "F")]],
             columns_b=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
         ).to_pandas()
+        PHASE_TIMINGS["query_encoded_join"] = {
+            "encode_s": round(t1 - t0, 3), "query_s": round(_time.time() - t1, 3),
+        }
         return res.sort_values("o_orderkey").reset_index(drop=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
