@@ -26,8 +26,12 @@ alternation (C-speed scan); decoding is a vectorised padded-gather.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
+
+_GATHER_BYTES = int(os.environ.get("SKAR_FSST_GATHER", 1 << 21))
 
 from . import base
 from .for_bitpack import pack_ints_with_reference, unpack_ints_with_reference
@@ -215,7 +219,11 @@ class SymbolTable:
 
     # ------------------------------------------------------------ encode
 
-    _PIECE = 64 << 10  # cache-resident piece for the replace chain
+    # cache-resident piece for the replace chain; env-overridable for
+    # the scaling-contention experiments recorded in BENCH.md (the
+    # replace chain is the encode's DRAM-heaviest window — piece size
+    # trades L1/L2 residency against per-piece chain overhead)
+    _PIECE = int(os.environ.get("SKAR_FSST_PIECE", 64 << 10))
 
     def encode_buffer(self, data: bytes) -> bytes:
         """Two passes, no per-match Python:
@@ -259,7 +267,9 @@ class SymbolTable:
             return b""
         out = []
         width = self._pad.shape[1]
-        CH = max(1 << 14, (1 << 21) // width)  # keep the gather matrix ~2 MB
+        # keep the gather matrix ~2 MB (env-overridable for the
+        # scaling-contention experiments, see BENCH.md)
+        CH = max(1 << 14, _GATHER_BYTES // width)
         for s in range(0, len(codes), CH):
             seg = codes[s : s + CH]
             lens = self._lens[seg]
