@@ -15,7 +15,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..stages.decoder import DecoderActor
+from ..stages.decoder import decode_stage
 from ..state import manifest as manifest_mod
 
 
@@ -44,25 +44,22 @@ def decoded_dataset(
     verify: bool = False,
     concurrency=None,
 ) -> "ray.data.Dataset":
+    n_parts = len(manifest_mod.scan_manifests(out_dir))
     mds = manifests_dataset(out_dir)
     if concurrency is None:
         # pool FLOOR from the known work set: autoscaling from min=1
         # ramps far too slowly for a ~10s batch decode (half the wall
         # time went to actor spin-up at 32 CPUs); idle actors beyond
         # the partition count are never spawned
-        import ray as _ray
-
         from ..runtime import pool_size
 
-        ncpu = int(_ray.cluster_resources().get("CPU", 8))
-        n_parts = mds.count()
-        concurrency = (max(1, min(n_parts, ncpu)), pool_size()[1])
-    return mds.map_batches(
-        DecoderActor,
-        fn_constructor_kwargs=dict(out_dir=out_dir, columns=columns, verify=verify),
-        batch_format="pyarrow",
-        batch_size=1,  # one partition per call; partitions are size-capped
-        concurrency=concurrency,
+        concurrency = (1, pool_size()[1])
+    # one partition per call (batch_size=1); partitions are size-capped.
+    # Small stores decode as a task pool, large ones as the actor pool
+    # (see stages.decoder.decode_stage).
+    return decode_stage(
+        mds, n_parts, concurrency,
+        out_dir=out_dir, columns=columns, verify=verify,
     )
 
 

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ..stages.decoder import DecoderActor, decode_manifest_batch
+from ..stages.decoder import decode_stage
 from ..state import manifest as manifest_mod
 
 Clause = tuple[str, str, Any]
@@ -34,31 +34,7 @@ DNF = list[list[Clause]]
 
 
 def _decode_stage(mds, rows, concurrency, **decode_kwargs):
-    """Decode manifest rows → Arrow, adaptively: small scans run as a
-    TASK pool (per-worker-process header cache, no actor spinup — the
-    ~1 s/stage actor startup dominates second-scale queries), large
-    partition counts as the ``DecoderActor`` pool (amortized per-actor
-    state, bounded pool for the 100 TB path)."""
-    import ray as _ray
-
-    ncpu = int(_ray.cluster_resources().get("CPU", 8))
-    if len(rows) <= 4 * ncpu:
-        return mds.map_batches(
-            decode_manifest_batch, fn_kwargs=decode_kwargs,
-            batch_format="pyarrow", batch_size=1,
-        )
-    if isinstance(concurrency, tuple):
-        # floor the pool at the known work set, capped at the CPU count
-        # (autoscaling from 1 actor dominates second-scale scans; floors
-        # beyond the CPUs oversubscribe small sessions)
-        concurrency = (max(concurrency[0], min(len(rows), ncpu, concurrency[1])), concurrency[1])
-    return mds.map_batches(
-        DecoderActor,
-        fn_constructor_kwargs=decode_kwargs,
-        batch_format="pyarrow",
-        batch_size=1,
-        concurrency=concurrency,
-    )
+    return decode_stage(mds, len(rows), concurrency, **decode_kwargs)
 
 
 def prune_partitions(manifests: dict[int, manifest_mod.PartitionManifest], dnf: DNF | None) -> list[int]:

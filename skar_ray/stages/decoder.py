@@ -110,10 +110,43 @@ def decode_manifest_batch(
     tag_partition: bool = False,
 ) -> pa.Table:
     """Task-pool twin of ``DecoderActor`` — same decode, state in a
-    per-process cache.  Used by query_encoded for small scans where
-    actor spinup would dominate; the actor pool remains the bulk path
-    (decode_job, large partition counts)."""
+    per-process cache.  Used for small scans where actor spinup would
+    dominate; the actor pool remains the bulk path (large partition
+    counts)."""
     return _decode_manifest_rows(
         batch, _TASK_HEADER_CACHE, out_dir, columns, verify,
         dnf, encoded_filter, apply_dnf, tag_partition,
+    )
+
+
+# Force one path in tests / experiments: "task" | "actor" | "" (adaptive)
+_DECODE_POOL_OVERRIDE = os.environ.get("SKAR_DECODE_POOL", "")
+
+
+def decode_stage(mds, n_parts: int, concurrency, **decode_kwargs):
+    """Decode manifest rows → Arrow, adaptively: small scans run as a
+    TASK pool (per-worker-process header cache, no actor spinup — the
+    ~1 s/stage actor startup dominates second-scale queries), large
+    partition counts as the ``DecoderActor`` pool (amortized per-actor
+    state, bounded pool for the 100 TB path)."""
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    small = n_parts <= 4 * ncpu
+    if _DECODE_POOL_OVERRIDE == "task" or (small and _DECODE_POOL_OVERRIDE != "actor"):
+        return mds.map_batches(
+            decode_manifest_batch, fn_kwargs=decode_kwargs,
+            batch_format="pyarrow", batch_size=1,
+        )
+    if isinstance(concurrency, tuple):
+        # floor the pool at the known work set, capped at the CPU count
+        # (autoscaling from 1 actor dominates second-scale scans; floors
+        # beyond the CPUs oversubscribe small sessions)
+        concurrency = (max(concurrency[0], min(n_parts, ncpu, concurrency[1])), concurrency[1])
+    return mds.map_batches(
+        DecoderActor,
+        fn_constructor_kwargs=decode_kwargs,
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency,
     )

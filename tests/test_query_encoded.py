@@ -529,3 +529,26 @@ def test_dict_value_mask_empty_in():
     vals = pa.array(["a", "b", "c"])
     m = _dict_value_mask(vals, "in", [])
     assert m.dtype == bool and not m.any() and len(m) == 3
+
+
+def test_actor_and_task_decode_paths_agree(encoded, monkeypatch):
+    """Small scans default to the task-pool decode; the DecoderActor
+    pool is the bulk path.  Pin both to identical results so neither
+    loses runtime coverage now that path choice is adaptive."""
+    from skar_ray.stages import decoder as decoder_mod
+
+    kwargs = dict(
+        columns=["repo", "path", "lang"],
+        filters=[[("lang", "==", "python"), ("path", "prefix", "src/")]],
+    )
+    outs = {}
+    for mode in ("task", "actor"):
+        monkeypatch.setattr(decoder_mod, "_DECODE_POOL_OVERRIDE", mode)
+        outs[mode] = (
+            query_encoded(OUT, **kwargs)
+            .to_pandas()
+            .sort_values(["repo", "path", "lang"])
+            .reset_index(drop=True)
+        )
+    assert len(outs["task"]) > 0
+    assert outs["task"].equals(outs["actor"])
