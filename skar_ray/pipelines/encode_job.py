@@ -31,7 +31,7 @@ import pyarrow as pa
 import ray.data
 
 from ..stages import partitioner
-from ..stages.encoder import ShardEncoder, encode_partition
+from ..stages.encoder import ShardEncoder, encode_partition, shard_encode_batch
 from ..state import manifest as manifest_mod
 
 
@@ -161,22 +161,36 @@ def run_encode_job(
         input_fingerprint = f"{corpus_path}:sharded:{_ncpu}"
         done = manifest_mod.scan_manifests(out_dir) if resume else {}
         done = {p: m for p, m in done.items() if m.input_fingerprint == input_fingerprint}
-        enc = ds.map_batches(
-            ShardEncoder,
-            fn_constructor_kwargs=dict(
-                out_dir=out_dir,
-                chunk_target_bytes=chunk_target_bytes,
-                input_fingerprint=input_fingerprint,
-                done_ids=frozenset(done.keys()),
-                codec_overrides=codec_overrides,
-                validate=validate,
-            ),
-            batch_format="pyarrow",
-            batch_size=None,  # one call per input block
-            concurrency=concurrency
-            or (2, max(8, int(__import__("ray").cluster_resources().get("CPU", 8)))),
-            zero_copy_batch=True,
+        enc_kwargs = dict(
+            out_dir=out_dir,
+            chunk_target_bytes=chunk_target_bytes,
+            input_fingerprint=input_fingerprint,
+            done_ids=frozenset(done.keys()),
+            codec_overrides=codec_overrides,
+            validate=validate,
         )
+        input_bytes = sum(
+            os.path.getsize(f) for f in pads.dataset(corpus_path).files
+        )
+        if concurrency is None and input_bytes < (256 << 20):
+            # small job (registry queries, tests): a TASK pool encodes
+            # the handful of blocks without the ~1 s/stage actor-pool
+            # spin-up; ShardEncoder's per-actor setup only pays off when
+            # many blocks amortize it
+            enc = ds.map_batches(
+                shard_encode_batch, fn_kwargs=enc_kwargs,
+                batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+            )
+        else:
+            enc = ds.map_batches(
+                ShardEncoder,
+                fn_constructor_kwargs=enc_kwargs,
+                batch_format="pyarrow",
+                batch_size=None,  # one call per input block
+                concurrency=concurrency
+                or (2, max(8, int(__import__("ray").cluster_resources().get("CPU", 8)))),
+                zero_copy_batch=True,
+            )
         summary = pa.Table.from_pandas(enc.to_pandas())
     elif mode == "hashed":
         plan, target_partition_bytes = _cached_plan(corpus_path, target_partition_bytes)

@@ -235,6 +235,60 @@ def encode_partition(
     )
 
 
+def block_pid(batch: pa.Table) -> int:
+    """Content-derived partition id for resume.  Hashes the full key
+    columns (repo/path/commit — small next to content) plus row count
+    and total content bytes; first-row-only fingerprints collide for
+    blocks sharing a leading row, silently skipping data on resume."""
+    h = hashlib.sha256()
+    h.update(str(batch.num_rows).encode())
+    hashed_any = False
+    for name in ("repo", "path", "commit"):
+        if name in batch.column_names:
+            from ..codecs.base import strings_to_buffers
+
+            col = batch.column(name)
+            lengths, data = strings_to_buffers(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+            h.update(lengths.tobytes())
+            h.update(data)
+            hashed_any = True
+    if "content" in batch.column_names:
+        h.update(str(int(pc.sum(pc.binary_length(batch.column("content"))).as_py() or 0)).encode())
+        hashed_any = True
+    if not hashed_any:  # schema without key/content columns: hash first+last rows
+        h.update(str(batch.slice(0, 1).to_pydict()).encode())
+        h.update(str(batch.slice(max(0, batch.num_rows - 1), 1).to_pydict()).encode())
+    return int.from_bytes(h.digest()[:6], "big")
+
+
+def shard_encode_batch(
+    batch: pa.Table, *, out_dir: str, chunk_target_bytes: int = 32 << 20,
+    input_fingerprint: str = "", done_ids: frozenset = frozenset(),
+    codec_overrides: dict[str, str] | None = None, validate: bool = True,
+) -> pa.Table:
+    """One input block → one encoded partition (no-shuffle path).
+    Task-pool form; ``ShardEncoder`` is the actor-pool twin for large
+    jobs (see run_encode_job's size gate)."""
+    pid = block_pid(batch)
+    if pid in done_ids:
+        m = manifest.read_manifest(out_dir, pid)
+        return pa.table(
+            {
+                "partition_id": pa.array([pid], type=pa.int64()),
+                "n_rows": pa.array([m.n_rows], type=pa.int64()),
+                "raw_bytes": pa.array([m.raw_bytes], type=pa.int64()),
+                "enc_bytes": pa.array([m.enc_bytes], type=pa.int64()),
+                "content_sha256": pa.array([m.content_sha256]),
+                "skipped": pa.array([True]),
+            }
+        )
+    batch = batch.append_column("pkey", pa.array(np.full(batch.num_rows, pid), type=pa.int64()))
+    return encode_partition(
+        batch, out_dir, chunk_target_bytes, input_fingerprint,
+        codec_overrides, validate=validate,
+    )
+
+
 class ShardEncoder:
     """Actor-pool encoder for the no-shuffle path (partition = input block).
 
@@ -252,54 +306,11 @@ class ShardEncoder:
         # warm the codec registry + zstd context once per actor
         from ..codecs import auto  # noqa: F401
 
-        self.out_dir = out_dir
-        self.chunk_target_bytes = chunk_target_bytes
-        self.input_fingerprint = input_fingerprint
-        self.done_ids = done_ids
-        self.codec_overrides = codec_overrides
-        self.validate = validate
-
-    def _block_pid(self, batch: pa.Table) -> int:
-        """Content-derived partition id for resume.  Hashes the full key
-        columns (repo/path/commit — small next to content) plus row count
-        and total content bytes; first-row-only fingerprints collide for
-        blocks sharing a leading row, silently skipping data on resume."""
-        h = hashlib.sha256()
-        h.update(str(batch.num_rows).encode())
-        hashed_any = False
-        for name in ("repo", "path", "commit"):
-            if name in batch.column_names:
-                from ..codecs.base import strings_to_buffers
-
-                col = batch.column(name)
-                lengths, data = strings_to_buffers(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
-                h.update(lengths.tobytes())
-                h.update(data)
-                hashed_any = True
-        if "content" in batch.column_names:
-            h.update(str(int(pc.sum(pc.binary_length(batch.column("content"))).as_py() or 0)).encode())
-            hashed_any = True
-        if not hashed_any:  # schema without key/content columns: hash first+last rows
-            h.update(str(batch.slice(0, 1).to_pydict()).encode())
-            h.update(str(batch.slice(max(0, batch.num_rows - 1), 1).to_pydict()).encode())
-        return int.from_bytes(h.digest()[:6], "big")
+        self.kwargs = dict(
+            out_dir=out_dir, chunk_target_bytes=chunk_target_bytes,
+            input_fingerprint=input_fingerprint, done_ids=done_ids,
+            codec_overrides=codec_overrides, validate=validate,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        pid = self._block_pid(batch)
-        if pid in self.done_ids:
-            m = manifest.read_manifest(self.out_dir, pid)
-            return pa.table(
-                {
-                    "partition_id": pa.array([pid], type=pa.int64()),
-                    "n_rows": pa.array([m.n_rows], type=pa.int64()),
-                    "raw_bytes": pa.array([m.raw_bytes], type=pa.int64()),
-                    "enc_bytes": pa.array([m.enc_bytes], type=pa.int64()),
-                    "content_sha256": pa.array([m.content_sha256]),
-                    "skipped": pa.array([True]),
-                }
-            )
-        batch = batch.append_column("pkey", pa.array(np.full(batch.num_rows, pid), type=pa.int64()))
-        return encode_partition(
-            batch, self.out_dir, self.chunk_target_bytes, self.input_fingerprint,
-            self.codec_overrides, validate=self.validate,
-        )
+        return shard_encode_batch(batch, **self.kwargs)
