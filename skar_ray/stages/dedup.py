@@ -483,6 +483,19 @@ class SimHasher:
         )
 
 
+_SIM_HASHERS: dict[int, SimHasher] = {}
+
+
+def _simhash_batch(batch: pd.DataFrame, *, seed: int = 42) -> pd.DataFrame:
+    """Task-pool form of ``SimHasher`` — the compiled tokenizer is
+    cached per worker process (same amortization as the actor's
+    ``__init__``, none of the per-execution pool spin-up)."""
+    h = _SIM_HASHERS.get(seed)
+    if h is None:
+        h = _SIM_HASHERS[seed] = SimHasher(seed)
+    return h(batch)
+
+
 _SIM_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
@@ -621,7 +634,7 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> pa.Table:
     rows per doc through the shuffle — rows, never documents."""
     from itertools import combinations
 
-    sigs = ds.map_batches(SimHasher, batch_format="pandas", concurrency=pool_size())
+    sigs = ds.map_batches(_simhash_batch, batch_format="pandas")
     blocks = _sim_block_masks()
     indexes = list(combinations(range(len(blocks)), 3))
     combo_masks = [blocks[a] | blocks[b] | blocks[c] for a, b, c in indexes]
@@ -963,26 +976,23 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
     planes = rng.normal(size=(n_tables, dim, n_planes))
     planes_ref = ray.put(planes)
 
-    class Bucketer:
-        def __init__(self, ref):
-            self.planes = ray.get(ref)  # broadcast once per actor
+    def bucketer(batch: pd.DataFrame, *, ref) -> pd.DataFrame:
+        planes_ = _cached_get(ref)  # broadcast once per worker process
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = m / norms
+        frames = []
+        for t in range(planes_.shape[0]):
+            signs = (unit @ planes_[t] > 0).astype(np.int64)
+            key = (signs << np.arange(signs.shape[1])).sum(axis=1)
+            frames.append(
+                pd.DataFrame({"table": t, "bucket": key, "vec_id": batch["vec_id"].to_numpy()})
+            )
+        return pd.concat(frames, ignore_index=True)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(m, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            unit = m / norms
-            frames = []
-            for t in range(self.planes.shape[0]):
-                signs = (unit @ self.planes[t] > 0).astype(np.int64)
-                key = (signs << np.arange(signs.shape[1])).sum(axis=1)
-                frames.append(
-                    pd.DataFrame({"table": t, "bucket": key, "vec_id": batch["vec_id"].to_numpy()})
-                )
-            return pd.concat(frames, ignore_index=True)
-
-    buckets = ds.map_batches(Bucketer, fn_constructor_args=(planes_ref,),
-                             batch_format="pandas", concurrency=pool_size())
+    buckets = ds.map_batches(bucketer, fn_kwargs=dict(ref=planes_ref),
+                             batch_format="pandas")
 
     def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
         out = capped_pairs(g["vec_id"].tolist())
@@ -1005,28 +1015,25 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
 
     ids_ref = ray.put(need_ids)
 
-    class UnitVecs:
-        def __init__(self, ref):
-            self.ids = pa.array(ray.get(ref))
+    def unit_vecs(batch: pa.Table, *, ref) -> pa.Table:
+        import pyarrow.compute as pc
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+        ids_ = pa.array(_cached_get(ref))  # broadcast once per worker process
+        sub = batch.filter(pc.is_in(pc.cast(batch.column("vec_id"), pa.int64()), value_set=ids_))
+        if sub.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "u": pa.array([], type=pa.large_binary())})
+        m = np.stack([np.asarray(v) for v in sub.column("embedding").to_pylist()]).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = m / norms
+        return pa.table({
+            "vec_id": pc.cast(sub.column("vec_id"), pa.int64()),
+            "u": pa.array([row.tobytes() for row in unit], type=pa.large_binary()),
+        })
 
-            sub = batch.filter(pc.is_in(pc.cast(batch.column("vec_id"), pa.int64()), value_set=self.ids))
-            if sub.num_rows == 0:
-                return pa.table({"vec_id": pa.array([], type=pa.int64()),
-                                 "u": pa.array([], type=pa.large_binary())})
-            m = np.stack([np.asarray(v) for v in sub.column("embedding").to_pylist()]).astype(np.float64)
-            norms = np.linalg.norm(m, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            unit = m / norms
-            return pa.table({
-                "vec_id": pc.cast(sub.column("vec_id"), pa.int64()),
-                "u": pa.array([row.tobytes() for row in unit], type=pa.large_binary()),
-            })
-
-    feats = ds.map_batches(UnitVecs, fn_constructor_args=(ids_ref,),
-                           batch_format="pyarrow", concurrency=pool_size())
+    feats = ds.map_batches(unit_vecs, fn_kwargs=dict(ref=ids_ref),
+                           batch_format="pyarrow")
     joined = _pairs_with_feature(cand_ds, feats, a="vec_a", b="vec_b",
                                  n_pairs=n_pairs, n_ids=len(need_ids))
 
