@@ -716,8 +716,14 @@ def asof_join(sf_dir: str) -> pd.DataFrame:
 
 def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Approximate distinct users per event_type via mergeable HLL
-    sketches: per-batch partial sketches → tiny driver merge.  Rows-only
-    (approximate); accuracy pinned by pytest against exact counts."""
+    sketches: per-batch partial sketches → tiny driver merge.
+    Approximate but DETERMINISTIC — the splitmix64 ingest, register
+    update, harmonic estimator and linear-counting correction are all
+    re-derived from scratch by the SQL oracle (HUGEINT modular multiply
+    + bin()-length leading-zero ranks), so the estimate itself is
+    hash-verified, not just row counts."""
+    import math
+
     from ..state.hll import HyperLogLog
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
@@ -738,7 +744,10 @@ def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(
         {
             "event_type": sorted(merged),
-            "approx_users": [int(round(merged[k].estimate())) for k in sorted(merged)],
+            # floor(x+0.5), not round(): Python round() is banker's
+            # rounding, DuckDB round() is half-away — floor+0.5 is the
+            # one both sides express identically
+            "approx_users": [int(math.floor(merged[k].estimate() + 0.5)) for k in sorted(merged)],
         }
     )
     return out
@@ -802,6 +811,109 @@ _CORPUS_IDENTITY_SQL = (
     'SELECT repo, path, "commit", lang, md5(content) AS content_md5 '
     "FROM '{glob}'"
 )
+
+
+def _rolling_fp_sql() -> str:
+    """From-scratch SQL re-derivation of the Rabin-Karp rolling-min
+    fingerprint (stages/text.py Fingerprinter): per-window polynomial
+    hash over code points, base 1000003 mod 2^64 via HUGEINT, min over
+    windows, masked to 63 bits.  Bit-identical to the engine."""
+    m64 = 1 << 64
+    p = [pow(1000003, j, m64) for j in range(16)]
+    terms = " + ".join(f"c[i+{j}]::HUGEINT*{p[15 - j]}" for j in range(16))
+    return f"""
+WITH cps AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text)+1), i -> unicode(substr(text, i, 1))) AS c,
+         length(text) AS n
+  FROM documents
+)
+SELECT doc_id, CAST((CASE
+    WHEN n = 0 THEN 0
+    WHEN n <= 16 THEN list_reduce(c, (a, x) -> (a::HUGEINT * 1000003 + x) % {m64})
+    ELSE list_min(list_transform(range(1, n - 14), i -> ({terms}) % {m64}))
+  END) % {1 << 63} AS BIGINT) AS rolling_fp
+FROM cps ORDER BY doc_id"""
+
+
+def _simhash_pairs_sql(seed: int = 42, max_hamming: int = 3) -> str:
+    """From-scratch SQL re-derivation of the full SimHash pair set
+    (stages/dedup.py SimHasher + simhash_pairs): tokenize, hash each
+    distinct token with md5_number_lower (the engine mirrors its
+    little-endian low-8-bytes semantics), majority-vote the 64 bits,
+    then brute-force every doc pair with hamming <= max_hamming.  Valid
+    at the correctness scale, where every blocking bucket is under the
+    engine's all-pairs cap so its output is the exact pair set."""
+    bit_terms = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << b}::HUGEINT ELSE 0 END"
+        for b in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT d.doc_id, u.t
+  FROM documents d,
+       unnest(list_distinct(regexp_extract_all(lower(d.text), '[a-z0-9_]+'))) AS u(t)
+),
+th AS (SELECT doc_id, md5_number_lower('{seed}:' || t) AS h FROM toks),
+sigs0 AS (SELECT doc_id, ({bit_terms}) AS hh FROM th GROUP BY doc_id),
+sigs AS (
+  SELECT d.doc_id, COALESCE(s.hh, 0)::UBIGINT AS h
+  FROM documents d LEFT JOIN sigs0 s USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}
+ORDER BY doc_a, doc_b"""
+
+
+def _hll_sql(p: int = 12) -> str:
+    """From-scratch SQL re-derivation of the HLL estimate
+    (state/hll.py): splitmix64 finalizer via overflow-safe HUGEINT
+    modular multiplies, p-bit register index, leading-zero rank from
+    bin()-length (exact, no float log2), max-per-register, harmonic
+    estimator with linear-counting small-range correction — the same
+    deterministic arithmetic the engine runs, so even the 'approximate'
+    sketch is value-hash-verified."""
+    m64 = 1 << 64
+    m = 1 << p
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def modmul(a: str, c: int) -> str:
+        # (a*c) mod 2^64 without exceeding HUGEINT: split a into 32-bit
+        # halves; each partial product stays under 2^96
+        return (
+            f"((({a}) % 4294967296) * {c} + "
+            f"((({a}) >> 32) * {c} % 4294967296) * 4294967296) % {m64}"
+        )
+
+    return f"""
+WITH uu AS (SELECT DISTINCT event_type, user_id FROM events),
+st1 AS (SELECT event_type, user_id::UBIGINT AS v0 FROM uu),
+st2 AS (SELECT event_type, ({modmul('xor(v0, v0 >> 30)::HUGEINT', c1)})::UBIGINT AS v1 FROM st1),
+st3 AS (SELECT event_type, ({modmul('xor(v1, v1 >> 27)::HUGEINT', c2)})::UBIGINT AS v2 FROM st2),
+hv AS (SELECT event_type, xor(v2, v2 >> 31) AS h FROM st3),
+rk AS (
+  SELECT event_type, (h >> {64 - p}) AS idx,
+         (65 - length(bin((h % {1 << (64 - p)}) * {m} + {m - 1}))) AS rank
+  FROM hv
+),
+reg AS (SELECT event_type, idx, max(rank) AS r FROM rk GROUP BY event_type, idx),
+agg AS (
+  SELECT event_type, sum(2.0 ^ (-r)) + ({m} - count(*)) * 1.0 AS denom,
+         ({m} - count(*)) AS zeros
+  FROM reg GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         (0.7213 / (1 + 1.079 / {m}.0)) * {m}.0 * {m}.0 / denom AS raw, zeros
+  FROM agg
+)
+SELECT event_type,
+  CAST(floor(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+       THEN {m}.0 * ln({m}.0 / zeros) ELSE raw END + 0.5) AS BIGINT) AS approx_users
+FROM est ORDER BY event_type"""
 
 QUERIES: dict[str, tuple] = {
     # (callable, oracle_sql or None)
@@ -943,7 +1055,7 @@ QUERIES: dict[str, tuple] = {
         "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
         "ON p.user_id = c.user_id AND p.ts >= c.ts",
     ),
-    "hll_distinct_users": (hll_distinct_users, None),
+    "hll_distinct_users": (hll_distinct_users, _hll_sql()),
     # joins
     "join_one_to_one": (
         join_one_to_one,
@@ -1025,7 +1137,7 @@ QUERIES: dict[str, tuple] = {
         fingerprint_md5,
         "SELECT doc_id, md5(text) AS md5 FROM documents",
     ),
-    "fingerprint_rolling": (fingerprint_rolling, None),
+    "fingerprint_rolling": (fingerprint_rolling, _rolling_fp_sql()),
     "lang_id": (
         lang_id,
         # the stopword-profile heuristic, reproduced from scratch in SQL:
@@ -1114,7 +1226,7 @@ QUERIES: dict[str, tuple] = {
         "SELECT doc_id FROM documents"
         " WHERE doc_id NOT IN (SELECT node FROM minlab WHERE label <> node)",
     ),
-    "dedup_simhash": (dedup_simhash, None),
+    "dedup_simhash": (dedup_simhash, _simhash_pairs_sql()),
     "dedup_ngram": (
         dedup_ngram,
         # EXACT oracle: the lang + shingle-count-band blocking is

@@ -454,20 +454,26 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------- simhash
 
 class SimHasher:
-    """64-bit SimHash over token features; state (token hash fn) per actor."""
+    """64-bit SimHash over token features; state (token hash fn) per actor.
+
+    Token hash = low 8 digest bytes of md5("<seed>:" + token) read
+    little-endian — exactly DuckDB's ``md5_number_lower('<seed>:' || t)``
+    — and the tokenizer is ASCII ``[a-z0-9_]+`` over lowercased text
+    (RE2-identical), so the full signature, and therefore the whole
+    hamming-pair set, is recomputable by the SQL oracle from scratch."""
 
     def __init__(self, seed: int = 42):
         import re
 
-        self.tok = re.compile(r"\w+")
-        self.seed = seed.to_bytes(4, "big")
+        self.tok = re.compile(r"[a-z0-9_]+")
+        self.salt = f"{seed}:".encode()
 
     def simhash(self, text: str) -> int:
         toks = self.tok.findall(text.lower())
         if not toks:
             return 0
         hashes = np.array(
-            [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8, salt=self.seed).digest(), "big") for t in set(toks)],
+            [int.from_bytes(hashlib.md5(self.salt + t.encode()).digest()[8:], "little") for t in set(toks)],
             dtype=np.uint64,
         )
         bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)

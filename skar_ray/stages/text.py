@@ -75,8 +75,11 @@ class QualityScorer:
 
 class Fingerprinter:
     """md5 fingerprint (SQL-checkable via DuckDB md5()) + a 64-bit
-    Rabin-Karp rolling-hash document fingerprint (min of window hashes,
-    shift-resistant — not SQL-expressible)."""
+    Rabin-Karp rolling-hash document fingerprint: min over all 16-code-
+    point window polynomial hashes (base 1000003, mod 2^64, masked to 63
+    bits), shift-resistant.  Operates on Unicode CODE POINTS so the
+    DuckDB oracle can recompute it exactly with unicode(substr(...)) +
+    HUGEINT modular arithmetic (see pipelines/registry.py)."""
 
     BASE = np.uint64(1000003)
     WINDOW = 16
@@ -89,18 +92,16 @@ class Fingerprinter:
         )
 
     def _rolling_min(self, s: str) -> int:
-        b = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.uint64)
-        w = self.WINDOW
-        if len(b) == 0:
+        cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        n = len(cp)
+        if n == 0:
             return 0
-        if len(b) <= w:
-            h = np.uint64(0)
-            for x in b:
-                h = h * self.BASE + x
-            return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
-        # vectorised windowed polynomial hash
+        # one vectorised path for both regimes: a string shorter than the
+        # window is a single window (the polynomial sum IS the Horner
+        # fold mod 2^64)
+        w = min(n, self.WINDOW)
         powers = self.BASE ** np.arange(w - 1, -1, -1, dtype=np.uint64)
-        win = np.lib.stride_tricks.sliding_window_view(b, w)
+        win = np.lib.stride_tricks.sliding_window_view(cp, w)
         hashes = (win * powers).sum(axis=1, dtype=np.uint64)
         return int(hashes.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
 
