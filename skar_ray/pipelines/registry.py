@@ -570,8 +570,14 @@ def dedup_embedding(sf_dir: str) -> pa.Table:
     # arrow list schemas
     ds = ds.select_columns(["vec_id", "embedding"]).union(extra).materialize()
     dim = len(np.asarray(base["embedding"].iloc[0]))
-    return dedup.embedding_dup_pairs(ds, threshold=0.95, dim=dim,
-                                     n_vectors=len(base) + len(planted))
+    out = dedup.embedding_dup_pairs(ds, threshold=0.95, dim=dim,
+                                    n_vectors=len(base) + len(planted))
+    # ids only: the cosine VALUES depend on the planted noise (not
+    # SQL-derivable) and are already hash-verified by
+    # dedup_embedding_exact; the pair SET is ground-truth-derivable, so
+    # dropping the column upgrades this query from rows-only to a full
+    # recall+precision hash check against the SQL oracle
+    return out.select(["vec_a", "vec_b"]).sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
 
 
 def dedup_embedding_exact(sf_dir: str) -> pa.Table:
@@ -1244,7 +1250,30 @@ QUERIES: dict[str, tuple] = {
         "FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b "
         "WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5",
     ),
-    "dedup_embedding": (dedup_embedding, None),
+    "dedup_embedding": (
+        dedup_embedding,
+        # GROUND-TRUTH oracle: the exact pair set at cosine >= 0.95 over
+        # the augmented table — every original all-pair (none qualify at
+        # this sf: max non-planted cosine ~0.51) plus the planted
+        # copy→parent pairs, whose ids are construction-derivable (copy
+        # i of the 3 smallest vec_ids gets id max+1+i) and whose cosine
+        # is ~0.999999 by the 1e-3 noise scale.  The engine hash-matching
+        # this is a perfect-recall AND perfect-precision check on the
+        # LSH pipeline (false positives must be killed by exact verify,
+        # misses would drop a row).
+        "WITH top3 AS ("
+        "  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS i"
+        "  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)"
+        "), mx AS (SELECT max(vec_id) AS m FROM embeddings), "
+        "orig AS ("
+        "  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b"
+        "  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+        "  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+        ") "
+        "SELECT vec_a, vec_b FROM orig "
+        "UNION ALL SELECT t.vec_id AS vec_a, mx.m + 1 + t.i AS vec_b FROM top3 t, mx "
+        "ORDER BY vec_a, vec_b",
+    ),
     "dedup_embedding_exact": (
         dedup_embedding_exact,
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a "
