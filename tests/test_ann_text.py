@@ -76,6 +76,54 @@ def test_rolling_fp_shift_invariant_window():
     assert out["rolling_fp"].nunique() == 1
 
 
+def test_rolling_fp_matches_naive_reference_on_unicode():
+    """The vectorised windowed-min path must equal a straightforward
+    per-window Horner reference over CODE POINTS (the SQL-oracle
+    contract), including non-ASCII, short (<window) and empty strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    f = text.Fingerprinter()
+    B, W, M = 1000003, 16, 1 << 64
+
+    def naive(s: str) -> int:
+        cps = [ord(c) for c in s]
+        if not cps:
+            return 0
+        w = min(len(cps), W)
+        best = None
+        for i in range(len(cps) - w + 1):
+            h = 0
+            for x in cps[i : i + w]:
+                h = (h * B + x) % M
+            best = h if best is None else min(best, h)
+        return best & ((1 << 63) - 1)
+
+    @given(st.text(max_size=64))
+    @settings(max_examples=200, deadline=None)
+    def check(s):
+        assert f._rolling_min(s) == naive(s)
+
+    check()
+
+
+def test_simhash_token_hash_matches_duckdb_md5_number_lower():
+    """SimHasher's token hash is contractually DuckDB's
+    md5_number_lower('<seed>:' || t) — the SQL oracle rebuilds every
+    signature from it, so the byte-order/slice convention is pinned."""
+    import duckdb
+    import hashlib
+
+    from skar_ray.stages.dedup import SimHasher
+
+    h = SimHasher(seed=42)
+    con = duckdb.connect()
+    for t in ["def", "return", "x1_y2", "a", "", "longer_token_here"]:
+        ours = int.from_bytes(hashlib.md5(h.salt + t.encode()).digest()[8:], "little")
+        theirs = con.execute("select md5_number_lower('42:' || ?)", [t]).fetchone()[0]
+        assert ours == theirs, t
+
+
 def test_lang_id_english():
     l = text.LangId()
     df = pd.DataFrame({"doc_id": [0], "text": ["the cat and the dog ran to the house of a friend for it is warm"]})
