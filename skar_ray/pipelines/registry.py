@@ -522,6 +522,63 @@ def quality_filter_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["lang", "source"]).reset_index(drop=True).astype({"n_kept": "int64"})
 
 
+def repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition signals per doc (duplicate-line and
+    top-bigram concentration) — the boilerplate/spam gate of a training
+    corpus cleaner.  Integer counts for an exact SQL hash."""
+    out = _docs(sf_dir).map_batches(
+        text.RepetitionStats, batch_format="pandas", concurrency=pool_size()
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def decontaminate(sf_dir: str, k: int = 8, bench_mod: int = 10) -> pd.DataFrame:
+    """Benchmark decontamination: flag training docs that share any
+    k-token n-gram with a held-out benchmark (here synthesised as the
+    docs with ``doc_id % bench_mod == 0``) — the standard test-set
+    overlap scrub before training.
+
+    Scale shape: the benchmark side is benchmark-sized (thousands of
+    docs, not corpus-sized) — its distinct n-gram set is collected once
+    and **broadcast** via ``ray.put`` (the reference's broadcast-set
+    semi-join, /root/reference/skar/src/query/execution/mod.rs:183-185);
+    the corpus side probes it per batch with a vectorised ``isin``
+    (at 100 TB the grams would be xxhashed to uint64 and probed with
+    ``np.isin``; strings here keep the DuckDB oracle byte-exact).
+    Returns (doc_id, n_hits) for contaminated non-benchmark docs."""
+    ds = _docs(sf_dir)
+
+    def bench_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch["doc_id"] % bench_mod == 0]
+        _, grams = text.kgram_positions(sub["text"], k)
+        return pd.DataFrame({"g": pd.unique(grams)})
+
+    bench = frozenset(
+        ds.map_batches(bench_partial, batch_format="pandas").to_pandas()["g"]
+    )
+    ref = ray.put(bench)
+
+    class Prober:
+        def __init__(self, ref):
+            self.bench = ray.get(ref)  # broadcast: fetched once per actor
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[batch["doc_id"] % bench_mod != 0].reset_index(drop=True)
+            pos, grams = text.kgram_positions(b["text"], k)
+            out = {"doc_id": pd.Series([], dtype="int64"), "n_hits": pd.Series([], dtype="int64")}
+            if len(pos):
+                hit = pd.Series(grams).isin(self.bench).to_numpy()
+                if hit.any():
+                    hits = pd.Series(b["doc_id"].to_numpy()[pos[hit]]).value_counts().sort_index()
+                    out = {"doc_id": hits.index.astype("int64"), "n_hits": hits.to_numpy().astype("int64")}
+            return pd.DataFrame(out)
+
+    parts = ds.map_batches(
+        Prober, fn_constructor_args=(ref,), batch_format="pandas", concurrency=pool_size()
+    ).to_pandas()
+    return parts.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64", "n_hits": "int64"})
+
+
 def dedup_minhash(sf_dir: str) -> pa.Table:
     return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.8)
 
@@ -1186,6 +1243,36 @@ QUERIES: dict[str, tuple] = {
         "WHERE length(text) >= 100 "
         "AND 2 * len(regexp_extract_all(text, '[A-Za-z]')) >= length(text) "
         "GROUP BY lang, source",
+    ),
+    "repetition_stats": (
+        repetition_stats,
+        # duplicate-line + top-bigram concentration, integer-exact:
+        # lines split on \n (empty text = one empty line, both sides);
+        # bigrams over \S+ tokens via 1-based list indexing
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents), "
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), "
+        "       i -> t[i] || ' ' || t[i+1])) AS g FROM toks), "
+        "bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g), "
+        "top AS (SELECT doc_id, max(c) AS top_bigram_count FROM bc GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        " len(str_split(d.text, chr(10))) AS n_lines, "
+        " len(list_distinct(str_split(d.text, chr(10)))) AS n_distinct_lines, "
+        " greatest(len(regexp_extract_all(d.text, '\\S+')) - 1, 0) AS n_bigrams, "
+        " coalesce(t.top_bigram_count, 0) AS top_bigram_count "
+        "FROM documents d LEFT JOIN top t USING (doc_id)",
+    ),
+    "decontaminate": (
+        decontaminate,
+        # n-gram test-set overlap: benchmark = docs with doc_id % 10 = 0,
+        # hit = any 8-token \S+ n-gram shared; n_hits counts positions
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents), "
+        "kg AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6), "
+        "       i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g "
+        "       FROM toks WHERE len(t) >= 8), "
+        "bench AS (SELECT DISTINCT g FROM kg WHERE doc_id % 10 = 0) "
+        "SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_hits "
+        "FROM kg k JOIN bench b USING (g) WHERE k.doc_id % 10 <> 0 "
+        "GROUP BY k.doc_id",
     ),
     "dedup_exact": (
         dedup_exact,

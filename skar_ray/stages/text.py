@@ -106,6 +106,79 @@ class Fingerprinter:
         return int(hashes.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
 
 
+def kgram_positions(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-token n-grams of every row, vectorised.
+
+    Tokens are maximal non-whitespace runs (the ``\\S+`` convention the
+    SQL oracles share).  Returns ``(row_positions, grams)`` — parallel
+    arrays with one entry per n-gram occurrence, ``row_positions``
+    indexing into ``texts`` positionally.  O(k · total_tokens) numpy
+    object ops; no per-row Python loop.
+    """
+    toks = texts.reset_index(drop=True).str.findall(_TOKEN_RE)
+    ex = toks.explode().dropna()
+    n = len(ex)
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=object))
+    if n == 0:
+        return empty
+    idx = ex.index.to_numpy(dtype=np.int64)
+    vals = ex.to_numpy(dtype=object)
+    grams = vals.copy()
+    valid = np.ones(n, dtype=bool)
+    for j in range(1, k):
+        if j >= n:
+            return empty
+        # gram starting at i stays valid iff token i+j exists in the same row
+        ok = np.zeros(n, dtype=bool)
+        ok[: n - j] = idx[j:] == idx[: n - j]
+        valid &= ok
+        nxt = np.empty(n, dtype=object)
+        nxt[: n - j] = vals[j:]
+        upd = np.empty(n, dtype=object)
+        upd[valid] = grams[valid] + " " + nxt[valid]
+        grams = upd
+    if not valid.any():
+        return empty
+    return idx[valid], grams[valid]
+
+
+class RepetitionStats:
+    """Gopher-style repetition signals (Rae et al. 2021, public): per
+    doc the duplicate-line and top-bigram concentrations that gate
+    boilerplate/spam out of training corpora.  Integer counts only so
+    the DuckDB oracle reproduces the hash exactly; the ratios
+    (dup_line_frac = 1 - n_distinct_lines/n_lines, top_bigram_frac =
+    top_bigram_count/n_bigrams) are derived downstream.  Fully
+    vectorised: pandas explode + groupby for lines, ``kgram_positions``
+    for bigrams.  Embarrassingly parallel — no shuffle at any scale."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.reset_index(drop=True)
+        texts = b["text"]
+        lines = texts.str.split("\n").explode()
+        g = lines.groupby(level=0)
+        n_lines = g.size().reindex(b.index, fill_value=0)
+        n_distinct = g.nunique().reindex(b.index, fill_value=0)
+        pos, grams = kgram_positions(texts, 2)
+        if len(pos):
+            bg = pd.DataFrame({"d": pos, "g": grams})
+            counts = bg.groupby(["d", "g"], sort=False).size()
+            top = counts.groupby(level=0).max().reindex(b.index, fill_value=0)
+            n_big = bg.groupby("d").size().reindex(b.index, fill_value=0)
+        else:
+            top = pd.Series(0, index=b.index)
+            n_big = pd.Series(0, index=b.index)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_lines": n_lines.astype("int64"),
+                "n_distinct_lines": n_distinct.astype("int64"),
+                "n_bigrams": n_big.astype("int64"),
+                "top_bigram_count": top.astype("int64"),
+            }
+        )
+
+
 class LangId:
     """Stopword-profile language/flavor guess (heuristic, rows-only check)."""
 

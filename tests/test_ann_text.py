@@ -239,3 +239,46 @@ def test_audio_features_real_wav(ray_session):
     ).to_pandas()
     assert abs(out["duration_s"].iloc[0] - 0.2) < 1e-9  # true frames/rate, not byte-length guess
     assert abs(out["rms_energy"].iloc[0] - 12000 / np.sqrt(2)) / 12000 < 0.02
+
+
+def test_kgram_positions_matches_naive():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def naive(texts, k):
+        out = []
+        for i, s in enumerate(texts):
+            toks = s.split()
+            for j in range(max(0, len(toks) - k + 1)):
+                out.append((i, " ".join(toks[j : j + k])))
+        return out
+
+    @given(
+        st.lists(st.text(alphabet="ab \t\n", max_size=30), max_size=8),
+        st.integers(min_value=1, max_value=4),
+    )
+    @settings(max_examples=150, deadline=None)
+    def check(texts, k):
+        pos, grams = text.kgram_positions(pd.Series(texts, dtype="object"), k)
+        assert list(zip(pos.tolist(), grams.tolist())) == naive(texts, k)
+
+    check()
+
+
+def test_repetition_stats_hand_computed():
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a b\na b\nc",  # dup line; bigrams: "a b","b a","a b","b c" -> top 2
+                "",  # one empty line, no tokens
+                "solo",  # one token: no bigrams
+                "x x x x",  # bigram "x x" ×3
+            ],
+        }
+    )
+    out = text.RepetitionStats()(df)
+    assert out["n_lines"].tolist() == [3, 1, 1, 1]
+    assert out["n_distinct_lines"].tolist() == [2, 1, 1, 1]
+    assert out["n_bigrams"].tolist() == [4, 0, 0, 3]
+    assert out["top_bigram_count"].tolist() == [2, 0, 0, 3]
