@@ -428,6 +428,11 @@ def token_count(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def token_count_bpe(sf_dir: str) -> pd.DataFrame:
+    out = _docs(sf_dir).map_batches(text.BPETokenCounter, batch_format="pandas", concurrency=pool_size()).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def quality_score(sf_dir: str) -> pd.DataFrame:
     out = _docs(sf_dir).map_batches(text.QualityScorer, batch_format="pandas", concurrency=pool_size()).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -1187,6 +1192,14 @@ QUERIES: dict[str, tuple] = {
     "token_count": (
         token_count,
         f"SELECT doc_id, {_TOKEN_SQL} AS n_tokens FROM documents",
+    ),
+    "token_count_bpe": (
+        token_count_bpe,
+        # single source of truth: the oracle runs the exact pattern the
+        # stage compiled (RE2 and Python re share its constructs)
+        "SELECT doc_id, len(regexp_extract_all(text, '"
+        + text._BPE_PATTERN.replace("'", "''")
+        + "')) AS n_bpe_tokens FROM documents",
     ),
     "quality_score": (
         quality_score,

@@ -22,6 +22,20 @@ _TOKEN_RE = re.compile(r"\S+")
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 _DIGIT_RE = re.compile(r"[0-9]")
 
+# GPT-2-style pre-tokenizer pattern (public, Radford et al. 2019),
+# restricted to constructs Python re and DuckDB's RE2 share: explicit
+# ASCII whitespace classes instead of \s (unicode-width differs) and no
+# lookahead (RE2 has none).  Both engines use leftmost-first
+# alternation, so match COUNTS agree exactly.
+_BPE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^ \t\n\r\f\vA-Za-z0-9]+"
+    r"|[ \t\n\r\f\v]+"
+)
+_BPE_RE = re.compile(_BPE_PATTERN)
+
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 _LANG_PROFILES = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
@@ -44,6 +58,21 @@ class TokenCounter:
         # semantics to findall-len without materializing match lists
         n = batch["text"].str.count(self.pat)
         return pd.DataFrame({"doc_id": batch["doc_id"], "n_tokens": n.astype("int64")})
+
+
+class BPETokenCounter:
+    """doc_id, n_bpe_tokens — BPE-ish pre-tokenization count: the cost
+    model for token-budgeted corpus curation (a real BPE merge table
+    only subdivides these pieces, so this upper-bounds and tracks the
+    true token count).  Same compiled-pattern ``str.count`` trick as
+    TokenCounter; the DuckDB oracle runs the identical pattern."""
+
+    def __init__(self):
+        self.pat = _BPE_RE
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["text"].str.count(self.pat)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "n_bpe_tokens": n.astype("int64")})
 
 
 class QualityScorer:

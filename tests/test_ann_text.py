@@ -282,3 +282,33 @@ def test_repetition_stats_hand_computed():
     assert out["n_distinct_lines"].tolist() == [2, 1, 1, 1]
     assert out["n_bigrams"].tolist() == [4, 0, 0, 3]
     assert out["top_bigram_count"].tolist() == [2, 0, 0, 3]
+
+
+def test_bpe_token_count_matches_duckdb_re2():
+    """Python re and DuckDB RE2 must count the BPE pre-tokenizer
+    pattern identically (leftmost-first alternation, explicit ASCII
+    whitespace classes) — the token_count_bpe oracle contract."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    c = text.BPETokenCounter()
+    con = duckdb.connect()
+    sql_pat = text._BPE_PATTERN.replace("'", "''")
+
+    @given(st.text(alphabet=st.characters(codec="ascii"), max_size=80))
+    @settings(max_examples=200, deadline=None)
+    def check(s):
+        ours = int(c(pd.DataFrame({"doc_id": [0], "text": [s]}))["n_bpe_tokens"].iloc[0])
+        theirs = con.execute(
+            f"select len(regexp_extract_all(?, '{sql_pat}'))", [s]
+        ).fetchone()[0]
+        assert ours == theirs, repr(s)
+
+    check()
+    # the canonical shapes: contractions, mixed runs, leading spaces
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["I'll go, won't you?", "x=1;  y+=2", ""]})
+    assert c(df)["n_bpe_tokens"].tolist() == [
+        con.execute(f"select len(regexp_extract_all(?, '{sql_pat}'))", [t]).fetchone()[0]
+        for t in df["text"]
+    ]
