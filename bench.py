@@ -51,7 +51,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from skar_ray.pipelines.encode_job import run_encode_job
 
     sf = sf_from_dir(sf_dir)
-    n_rows = rows_for_sf(sf)
+    n_rows = int(os.environ.get("SKAR_BENCH_ROWS", "0")) or rows_for_sf(sf)
     corpus_dir = ensure_corpus(n_rows)  # cached, untimed
     corpus = os.path.join(corpus_dir, "corpus.parquet")
 
@@ -237,10 +237,50 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16, repeats: int = 2) -> dic
     }
 
 
+def run_data_scaling(sf_dir: str, num_cpus: int, sizes=(125_000, 500_000, 2_000_000)) -> dict:
+    """Scaling in DATA at fixed parallelism: same pipeline, 4× and 16×
+    the rows, fresh process per size (corpus gen is cached/untimed).
+    Throughput should be flat in bytes — the property that says the
+    partitioned design keeps working as the corpus grows toward 100 TB
+    (no super-linear stage: the only wide op is the hash exchange, and
+    partition count grows linearly with bytes).  Best-of-2 per size."""
+    per = {}
+    for rows in sizes:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(num_cpus), SKAR_BENCH_MINIMAL="1",
+            SKAR_BENCH_ROWS=str(rows), SKAR_BENCH_ENCODE_REPEATS="2",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        r = json.loads(out.strip().splitlines()[-1])
+        per[rows] = {
+            "sec": r["value"],
+            "gbps": r["encode_gbps"],
+            "raw_gb": round(r["raw_content_bytes"] / 1e9, 3),
+            "compression_vs_reference": r["compression_vs_reference"],
+        }
+    lo, hi = min(sizes), max(sizes)
+    linearity = round(per[hi]["gbps"] / max(1e-9, per[lo]["gbps"]), 3)
+    return {
+        "metric": "data-scaling: encode throughput vs corpus size at fixed CPUs",
+        "value": linearity,
+        "unit": "throughput ratio (largest/smallest corpus; 1.0 = perfectly linear wall time)",
+        "num_cpus": num_cpus,
+        "sizes": {str(k): v for k, v in per.items()},
+        "queries": {f"encode_{k}rows": v["sec"] for k, v in per.items()},
+        "sf": "data-scaling",
+    }
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
+    elif "--data-scaling" in sys.argv:
+        print(json.dumps(run_data_scaling(sf_dir, num_cpus)))
     else:
         print(json.dumps(run_bench(sf_dir, num_cpus)))
