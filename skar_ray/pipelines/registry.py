@@ -21,7 +21,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..stages import ann, dedup, joins, multimodal, text, windows
+from ..stages import ann, dedup, joins, multimodal, text, training, windows
 from . import queries as Q
 from ..runtime import pool_size
 
@@ -582,6 +582,34 @@ def decontaminate(sf_dir: str, k: int = 8, bench_mod: int = 10) -> pd.DataFrame:
         Prober, fn_constructor_args=(ref,), batch_format="pandas", concurrency=pool_size()
     ).to_pandas()
     return parts.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64", "n_hits": "int64"})
+
+
+def pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """LLM sequence packing (concat-and-chop into 512-token sequences
+    per language) via a distributed two-pass prefix sum — see
+    stages/training.pack_sequences."""
+    return training.pack_sequences(_docs(sf_dir))
+
+
+def split_assign(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split manifest (md5-prefix ranges,
+    ~80/10/10) with per-(lang, split) doc and char volumes."""
+    return training.split_assign(_docs(sf_dir))
+
+
+def lm_commonness(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM quality scoring: corpus token frequencies broadcast as
+    the model, each doc scored by summed token frequency (integer-exact
+    KenLM-filter analog)."""
+    return training.unigram_commonness(_docs(sf_dir))
+
+
+def cluster_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact 2-iteration Lloyd k-means over the embeddings table
+    (broadcast centroids + k×d mergeable partial sums)."""
+    return training.kmeans_clusters(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    )
 
 
 def dedup_minhash(sf_dir: str) -> pa.Table:
@@ -1290,6 +1318,69 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact": (
         dedup_exact,
         "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    ),
+    # training-data preparation
+    "pack_sequences": (
+        pack_sequences,
+        # exact window prefix sum: same \S+ token model, 512-token budget
+        r"WITH t AS (SELECT doc_id, lang, len(regexp_extract_all(text, '\S+')) AS n"
+        r" FROM documents),"
+        r"c AS (SELECT doc_id, lang,"
+        r" sum(n) OVER (PARTITION BY lang ORDER BY doc_id) - n AS prior FROM t) "
+        r"SELECT doc_id, lang, CAST(prior // 512 AS BIGINT) AS seq_id,"
+        r" CAST(prior % 512 AS BIGINT) AS tok_start FROM c",
+    ),
+    "split_assign": (
+        split_assign,
+        # md5-prefix range split: 'cc'/256 ≈ 80% train, 'e6' ≈ 90% cut
+        "SELECT lang,"
+        " CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'"
+        "      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'"
+        "      ELSE 'test' END AS split,"
+        " CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+        "FROM documents GROUP BY 1, 2",
+    ),
+    "lm_commonness": (
+        lm_commonness,
+        # the unigram LM re-trained from scratch in SQL; commonness is
+        # the exact rational freq_sum / n_tokens on both engines
+        r"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok"
+        r" FROM documents),"
+        r"freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),"
+        r"per AS (SELECT t.doc_id, CAST(sum(f.c) AS BIGINT) AS fs,"
+        r" CAST(count(*) AS BIGINT) AS n"
+        r" FROM toks t JOIN freq f USING (tok) GROUP BY t.doc_id) "
+        r"SELECT d.doc_id, COALESCE(p.n, 0) AS n_tokens, COALESCE(p.fs, 0) AS freq_sum,"
+        r" CAST(COALESCE(p.fs, 0) AS DOUBLE) /"
+        r" CASE WHEN COALESCE(p.n, 0) = 0 THEN 1 ELSE p.n END AS commonness "
+        r"FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id",
+    ),
+    "cluster_kmeans": (
+        cluster_kmeans,
+        # full Lloyd re-derivation in SQL: quantize (floor(x*1000+.5)+1024),
+        # init = 8 smallest vec_ids, integer argmin assignment (ties ->
+        # smallest j), integer-rounded centroid update ((2Σ+c)//(2c)),
+        # second assignment — bit-exact vs the numpy path
+        "WITH e AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT) + 1024) AS v"
+        " FROM embeddings),"
+        "init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v"
+        " FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8) s),"
+        "a1 AS (SELECT vec_id, j FROM ("
+        " SELECT e.vec_id, c.j, row_number() OVER (PARTITION BY e.vec_id ORDER BY"
+        "  list_sum(list_transform(range(1, 65), i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i]))), c.j) AS rn"
+        " FROM e CROSS JOIN init c) WHERE rn = 1),"
+        "upd AS (SELECT a.j, gs.i,"
+        " CAST((2*sum(e.v[gs.i]) + count(*)) // (2*count(*)) AS BIGINT) AS cv"
+        " FROM a1 a JOIN e ON a.vec_id = e.vec_id CROSS JOIN generate_series(1, 64) gs(i)"
+        " GROUP BY a.j, gs.i),"
+        "cent1 AS (SELECT c0.j, COALESCE(u.v, c0.v) AS v FROM init c0 LEFT JOIN"
+        " (SELECT j, list(cv ORDER BY i) AS v FROM upd GROUP BY j) u USING (j)),"
+        "a2 AS (SELECT vec_id, j FROM ("
+        " SELECT e.vec_id, c.j, row_number() OVER (PARTITION BY e.vec_id ORDER BY"
+        "  list_sum(list_transform(range(1, 65), i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i]))), c.j) AS rn"
+        " FROM e CROSS JOIN cent1 c) WHERE rn = 1) "
+        "SELECT vec_id, CAST(j AS BIGINT) AS cluster FROM a2",
     ),
     "dedup_minhash": (
         dedup_minhash,
