@@ -46,6 +46,29 @@ ESCAPE = 0xFF
 _MAX_LEN = 16
 
 
+def _window_counts(w: np.ndarray, L: int) -> tuple[np.ndarray, np.ndarray]:
+    """(first_index, count) per distinct window row — np.unique on a
+    uint64 KEY instead of an L-byte void view: the int sort is ~10×
+    faster than void lexicographic compares (measured 0.035 s → 0.004 s
+    per length on the 128 KiB training sample).  L ≤ 8 packs the bytes
+    losslessly; longer windows use an FNV-style rolling hash whose
+    collision odds over ≤512K windows are ~1e-9 (a collision merges two
+    counts; the symbol BYTES stay exact via the representative index,
+    and refine_symbols re-validates every candidate's realized gain on
+    the sample anyway)."""
+    if L <= 8:
+        pad = np.zeros((len(w), 8), dtype=np.uint8)
+        pad[:, :L] = w
+        key = pad.view(np.uint64).ravel()
+    else:
+        m = np.uint64(0x100000001B3)
+        key = np.zeros(len(w), dtype=np.uint64)
+        for i in range(L):
+            key = key * m + w[:, i].astype(np.uint64)
+    _, idx, counts = np.unique(key, return_index=True, return_counts=True)
+    return idx, counts
+
+
 def train_symbols(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
     """Pick up to `max_symbols` byte sequences maximising estimated savings.
 
@@ -71,19 +94,18 @@ def train_symbols(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
         step = max(1, len(win) // (1 << 19))
         win = win[::step]
         ascii_only = (win < 0x80).all(axis=1)
-        win = win[ascii_only]
+        win = np.ascontiguousarray(win[ascii_only])
         if len(win) == 0:
             continue
-        view = np.ascontiguousarray(win).view(np.dtype((np.void, L))).ravel()
-        uniq, counts = np.unique(view, return_counts=True)
-        if len(uniq) == 0:
+        idx, counts = _window_counts(win, L)
+        if len(counts) == 0:
             continue
         top = np.argsort(counts)[::-1][:256]
         for i in top:
             c = int(counts[i]) * step
             if c < 4:
                 break
-            candidates.append((c * (L - 1), uniq[i].tobytes()))
+            candidates.append((c * (L - 1), win[idx[i]].tobytes()))
     candidates.sort(key=lambda t: (-t[0], t[1]))
     out: list[bytes] = []
     seen: set[bytes] = set()
@@ -98,7 +120,7 @@ def train_symbols(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
 
 
 def refine_symbols(
-    symbols: list[bytes], sample: bytes, max_loss_frac: float = 0.002
+    symbols: list[bytes], sample: bytes, max_loss_frac: float = 0.01
 ) -> tuple[list[bytes], list[bytes]]:
     """Second training generation ("iterative re-counting"): simulate
     the encode chain on the sample to measure each symbol's REALIZED
@@ -110,7 +132,11 @@ def refine_symbols(
     Returns ``(kept_symbols, chain_order)``:
     - drops the lowest-gain tail whose TOTAL realized savings is under
       ``max_loss_frac`` of the sample (bounded size impact; dropped
-      matches are partially recaptured by surviving shorter symbols);
+      matches are partially recaptured by surviving shorter symbols).
+      Default 0.01: each surviving symbol costs one C-scan per piece at
+      encode time, and the measured sweep (BENCH.md r4) shows 0.002→
+      0.01 cuts the chain 49→43 passes for 18% faster encode at +1.6%
+      encoded bytes — cheap against the 5.3× compression headroom;
     - orders the remaining chain by realized gain (descending) subject
       to superstring-before-substring, so the highest-gain passes
       shrink the buffer before low-gain passes scan it.

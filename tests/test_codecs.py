@@ -162,7 +162,9 @@ def test_fsst_refine_symbols_bitexact_and_fewer_passes():
     t_old, t_new = SymbolTable(syms), SymbolTable(kept, chain=chain)
     enc_old, enc_new = t_old.encode_buffer(buf), t_new.encode_buffer(buf)
     assert t_new.decode_buffer(enc_new) == buf
-    assert len(enc_new) <= len(enc_old) * 1.03
+    # realized loss is bounded by the budget measured on the sample;
+    # allow 2x nominal (0.01 of raw bytes) for sample-vs-buffer drift
+    assert len(enc_new) <= len(enc_old) + 2 * 0.01 * len(buf)
     # substring constraint: a symbol's superstring must appear before it
     for i, s in enumerate(chain):
         for j, o in enumerate(chain):
