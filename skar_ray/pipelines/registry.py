@@ -612,6 +612,23 @@ def cluster_kmeans(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Search-index build: (tok, doc_id, first token ordinal) postings —
+    a pure map-side op (a doc is one row, so per-batch min is final)."""
+    out = (
+        _docs(sf_dir)
+        .map_batches(text.postings_batch, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["tok", "doc_id"]).reset_index(drop=True)
+
+
+def length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-language count/median/p90 of n_chars via mergeable per-batch
+    histograms (scale-safe exact quantiles)."""
+    return text.length_quantile_stats(_docs(sf_dir))
+
+
 def dedup_minhash(sf_dir: str) -> pa.Table:
     return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.8)
 
@@ -1318,6 +1335,25 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact": (
         dedup_exact,
         "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    ),
+    # indexing / grouped quantiles
+    "inverted_index": (
+        inverted_index,
+        # 1-based token ordinals via list indexing; 8192 caps the series
+        # safely above any doc's token count at oracle scale (the same
+        # bound the shingle oracles use)
+        r"WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t"
+        r" FROM documents),"
+        r"p AS (SELECT doc_id, t[gs.i] AS tok, gs.i AS i FROM toks"
+        r" CROSS JOIN generate_series(1, 8192) gs(i) WHERE gs.i <= len(t)) "
+        r"SELECT tok, doc_id, CAST(min(i) AS BIGINT) AS first_pos FROM p"
+        r" GROUP BY tok, doc_id",
+    ),
+    "length_quantiles": (
+        length_quantiles,
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n,"
+        " median(n_chars) AS median_chars,"
+        " quantile_cont(n_chars, 0.9) AS p90_chars FROM documents GROUP BY lang",
     ),
     # training-data preparation
     "pack_sequences": (

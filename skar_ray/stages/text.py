@@ -228,3 +228,69 @@ class LangId:
             best = max(sorted(scores), key=lambda k: scores[k])
             preds.append(best if scores[best] > 0 else "unknown")
         return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})
+
+
+def postings_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch inverted-index postings: (tok, doc_id, first_pos) with
+    1-based token ordinals.  A document is a single row, so the
+    per-batch ``groupby.min`` is already FINAL — the index build is a
+    pure map-side op, no global reduce (the posting list for a token is
+    the concatenation of these rows across batches; consumers that need
+    them contiguous group on ``tok``, which is the only wide step)."""
+    toks = batch["text"].reset_index(drop=True).str.findall(_TOKEN_RE)
+    ex = toks.explode().dropna()
+    if not len(ex):
+        return pd.DataFrame(
+            {
+                "tok": pd.Series([], dtype="object"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "first_pos": pd.Series([], dtype="int64"),
+            }
+        )
+    ords = ex.groupby(level=0).cumcount().to_numpy() + 1
+    ids = batch["doc_id"].reset_index(drop=True)
+    df = pd.DataFrame(
+        {
+            "tok": ex.to_numpy(dtype=object),
+            "doc_id": ids.loc[ex.index].to_numpy(),
+            "first_pos": ords,
+        }
+    )
+    out = df.groupby(["tok", "doc_id"], as_index=False)["first_pos"].min()
+    return out.astype({"doc_id": "int64", "first_pos": "int64"})
+
+
+def length_quantile_stats(ds: "ray.data.Dataset") -> pd.DataFrame:
+    """Per-language count / median / p90 of ``n_chars`` via MERGEABLE
+    per-batch histograms — the scale-safe exact-quantile shape: each
+    batch emits (lang, value, count) partials, the merged histogram is
+    (n_langs × distinct lengths)-sized regardless of corpus size, and
+    quantile_cont-style linear interpolation is evaluated on the exact
+    counts (matches DuckDB ``median`` / ``quantile_cont`` semantics:
+    h = (n-1)·q, v_lo + (h - ⌊h⌋)(v_hi - v_lo))."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["lang", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    hist = parts.groupby(["lang", "n_chars"], as_index=False)["cnt"].sum()
+    rows = []
+    for lang, sub in hist.groupby("lang"):
+        sub = sub.sort_values("n_chars")
+        vals = sub["n_chars"].to_numpy(dtype=np.float64)
+        cnt = sub["cnt"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+
+        def q(frac: float) -> float:
+            h = (n - 1) * frac
+            lo = int(np.floor(h))
+            v_lo = vals[np.searchsorted(cum, lo, side="right")]
+            v_hi = vals[np.searchsorted(cum, min(lo + 1, n - 1), side="right")]
+            return float(v_lo + (h - lo) * (v_hi - v_lo))
+
+        rows.append((lang, n, q(0.5), q(0.9)))
+    return pd.DataFrame(
+        rows, columns=["lang", "n", "median_chars", "p90_chars"]
+    ).sort_values("lang").reset_index(drop=True).astype({"n": "int64"})

@@ -143,3 +143,34 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     df = pd.DataFrame({"vec_id": range(4), "embedding": list(vecs)})
     got = training.kmeans_clusters(ray.data.from_pandas(df), k=2, iters=2)
     assert got["cluster"].tolist() == [0, 0, 0, 0]
+
+
+def test_postings_batch_ordinals(ray_session):
+    import ray.data
+    from skar_ray.stages import text as T
+
+    df = pd.DataFrame({"doc_id": [5, 9], "text": ["a b a c b", ""]})
+    out = ray.data.from_pandas(df).map_batches(
+        T.postings_batch, batch_format="pandas"
+    ).to_pandas().sort_values(["tok", "doc_id"]).reset_index(drop=True)
+    want = pd.DataFrame(
+        {"tok": ["a", "b", "c"], "doc_id": [5, 5, 5], "first_pos": [1, 2, 4]}
+    )
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_length_quantiles_interpolation(ray_session):
+    import ray.data
+    from skar_ray.stages import text as T
+
+    # 4 values -> median interpolates between the 2nd and 3rd, p90
+    # between the 3rd and 4th: h = 3*0.9 = 2.7
+    df = pd.DataFrame(
+        {"lang": ["en"] * 4, "n_chars": [10, 20, 40, 100], "doc_id": range(4)}
+    )
+    out = T.length_quantile_stats(ray.data.from_pandas(df))
+    assert out["n"].tolist() == [4]
+    assert out["median_chars"].tolist() == [30.0]
+    # ulp-level drift vs the closed form is fine (the oracle hash
+    # rounds to 9 decimals)
+    assert out["p90_chars"].iloc[0] == pytest.approx(40 + 0.7 * 60, abs=1e-9)
