@@ -204,8 +204,20 @@ def unigram_commonness(ds: "ray.data.Dataset") -> pd.DataFrame:
         vc = batch["text"].str.findall(pat).explode().dropna().value_counts()
         return pd.DataFrame({"tok": vc.index, "c": vc.to_numpy().astype("int64")})
 
-    parts = ds.map_batches(vocab_partial, batch_format="pandas").to_pandas()
-    freq = parts.groupby("tok")["c"].sum().to_dict()
+    def sum_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"tok": pd.Series([], dtype="object"), "c": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame({"tok": [g["tok"].iloc[0]], "c": [int(g["c"].sum())]})
+
+    # per-batch partials -> DISTRIBUTED per-token sum (the shared hash
+    # exchange) -> driver sees only the final vocab-sized table, which
+    # is the broadcast model by definition (cap to top-K here at real
+    # corpus scale)
+    partials = ds.map_batches(vocab_partial, batch_format="pandas")
+    vocab = bucketed_group_apply(partials, ["tok"], sum_group).to_pandas()
+    freq = dict(zip(vocab["tok"], vocab["c"].astype(int)))
     ref = ray.put(freq)
 
     class Scorer:
