@@ -137,7 +137,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
         for name in ["agg_q1", "range_filter", "semi_join", "token_count", "dedup_minhash",
                      "ann_bruteforce", "query_encoded_documents", "query_encoded_join",
-                     "session_window"]:
+                     "session_window", "pack_sequences", "cluster_kmeans"]:
             fn = QUERIES[name][0]
             best = None
             best_phases = None
