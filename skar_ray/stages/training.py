@@ -78,11 +78,24 @@ def pack_sequences(
     # text is projected away before the exchange: only 4 ints/doc move
     slim = ds.map_batches(add_cols, batch_format="pandas").materialize()
 
-    def shard_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(["lang", "shard"], as_index=False)["n_tok"].sum()
+    # per-(lang, shard) partials as raw tasks over the materialized
+    # blocks — one task round instead of a full Dataset op (the fused
+    # fixed-overhead trick the dedup pipelines use); each result is a
+    # shards-per-block-sized frame, driver-merged like the partition
+    # plan
+    @ray.remote
+    def _shard_partial(tbl) -> pd.DataFrame:
+        b = tbl.to_pandas()
+        g = b.groupby(["lang", "shard"], as_index=False)["n_tok"].sum()
         return g.rename(columns={"n_tok": "tok_sum"})
 
-    parts = slim.map_batches(shard_partial, batch_format="pandas").to_pandas()
+    refs = slim.to_arrow_refs()
+    parts_list = ray.get([_shard_partial.remote(r) for r in refs])
+    parts = (
+        pd.concat(parts_list, ignore_index=True)
+        if parts_list
+        else pd.DataFrame({"lang": [], "shard": [], "tok_sum": []})
+    )
     sums = parts.groupby(["lang", "shard"], as_index=False)["tok_sum"].sum()
     sums = sums.sort_values(["lang", "shard"])
     sums["offset"] = sums.groupby("lang")["tok_sum"].cumsum() - sums["tok_sum"]
