@@ -100,7 +100,15 @@ def train_symbols(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
         idx, counts = _window_counts(win, L)
         if len(counts) == 0:
             continue
-        top = np.argsort(counts)[::-1][:256]
+        # O(n) top-256 instead of a full argsort over up to 512K
+        # uniques (candidate tie order at the cut may differ — both
+        # orders are deterministic, and refine_symbols re-validates
+        # every survivor's realized gain anyway)
+        if len(counts) > 256:
+            part = np.argpartition(counts, -256)[-256:]
+            top = part[np.argsort(counts[part])[::-1]]
+        else:
+            top = np.argsort(counts)[::-1]
         for i in top:
             c = int(counts[i]) * step
             if c < 4:
@@ -150,7 +158,7 @@ def refine_symbols(
         if len(s) == 1 and s[0] >= 0x80:
             gains[s] = int(np.count_nonzero(arr == s[0]))  # escape byte saved
     if arr.max() >= 0x80:
-        data = _escape_splice(t._hi_lut[arr], t._needs_escape[arr])
+        data = _escape_splice(t._hi_lut[arr], np.flatnonzero(t._needs_escape[arr]))
     else:
         data = sample
     for sym, code in t._multi:  # longest-first simulation, counting matches
@@ -195,8 +203,8 @@ def refine_symbols(
 _ESC_BYTES = bytes((ESCAPE,))
 
 
-def _escape_splice(mapped: np.ndarray, esc: np.ndarray) -> bytes:
-    """Insert an ESCAPE marker before every byte flagged in ``esc``.
+def _escape_splice(mapped: np.ndarray, idx: np.ndarray) -> bytes:
+    """Insert an ESCAPE marker before every byte at position ``idx``.
 
     Escapes are RARE on ASCII-dominated corpora (measured 6e-7 of
     content bytes), so the hot path is slice-and-join around each
@@ -204,7 +212,6 @@ def _escape_splice(mapped: np.ndarray, esc: np.ndarray) -> bytes:
     np.insert's 0.28 s full masked copy on a 30 MB column).  Above
     ~0.1% density the per-escape Python cost crosses over and
     np.insert's vectorised path wins."""
-    idx = np.flatnonzero(esc)
     if idx.size == 0:
         return mapped.tobytes()
     if idx.size > max(1024, len(mapped) >> 10):
@@ -240,10 +247,12 @@ class SymbolTable:
         self._hi_lut = np.arange(256, dtype=np.uint8)
         self._needs_escape = np.zeros(256, dtype=bool)
         self._needs_escape[0x80:] = True
+        self._hi_identity = True
         for i, s in enumerate(symbols):
             if len(s) == 1 and s[0] >= 0x80:
                 self._hi_lut[s[0]] = FIRST_CODE + i
                 self._needs_escape[s[0]] = False
+                self._hi_identity = False
         # decode tables: padded symbol matrix + lengths, indexed by code;
         # width follows the LONGEST actual symbol (gather cost scales
         # with width, so don't pay for the training cap)
@@ -290,8 +299,16 @@ class SymbolTable:
         if not data:
             return data
         arr = np.frombuffer(data, dtype=np.uint8)
-        if arr.max() >= 0x80:
-            data = _escape_splice(self._hi_lut[arr], self._needs_escape[arr])
+        if self._hi_identity:
+            # no high single-byte symbols -> the LUT is identity; skip
+            # the 30 MB gather and escape every high byte in place
+            hi = np.flatnonzero(arr >= 0x80)
+            if hi.size:
+                data = _escape_splice(arr, hi)
+        elif arr.max() >= 0x80:
+            data = _escape_splice(
+                self._hi_lut[arr], np.flatnonzero(self._needs_escape[arr])
+            )
         multi = self._multi
         if len(data) <= self._PIECE:
             for sym, code in multi:
