@@ -94,3 +94,21 @@ def test_decode_vectorized_matches_naive():
             i += 1
     assert bytes(out) == data
     assert t.decode_buffer(enc) == data
+
+
+def test_escape_splice_matches_np_insert_across_densities():
+    """The sparse slice-join and dense np.insert paths must agree with
+    the reference np.insert splice at every density, including the
+    crossover threshold."""
+    import numpy as np
+
+    from skar_ray.codecs.fsst import ESCAPE, _escape_splice
+
+    rng = np.random.default_rng(0)
+    for frac in (0.0, 1e-5, 1e-3, 0.02, 0.5, 1.0):
+        n = 200_000
+        mapped = rng.integers(0, 256, n).astype(np.uint8)
+        esc = rng.random(n) < frac
+        idx = np.flatnonzero(esc)
+        want = np.insert(mapped, idx, ESCAPE).tobytes()
+        assert _escape_splice(mapped, idx) == want, frac
