@@ -584,6 +584,84 @@ def decontaminate(sf_dir: str, k: int = 8, bench_mod: int = 10) -> pd.DataFrame:
     return parts.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64", "n_hits": "int64"})
 
 
+def decontaminate_bloom(sf_dir: str, k: int = 8, bench_mod: int = 10) -> pd.DataFrame:
+    """Benchmark decontamination via the reference's bloom-prune →
+    exact-verify pipeline shape (prune_query handler.rs:187-250 →
+    execute_query): an SBBF over the benchmark's gram hashes is the
+    broadcast pre-filter (FIXED size regardless of benchmark scale —
+    the 100 TB story), each corpus batch probes it vectorised, and only
+    the surviving (gram, doc_id) rows enter the exact semi-join through
+    the shared hash exchange.  SBBFs have no false negatives and the
+    exact join kills false positives, so the output equals
+    ``decontaminate`` and shares its SQL oracle."""
+    import numpy as np
+
+    from ..stages.groups import bucketed_group_apply
+    from ..state.bloom import SplitBlockBloom
+
+    ds = _docs(sf_dir)
+
+    def bench_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch["doc_id"] % bench_mod == 0]
+        _, grams = text.kgram_positions(sub["text"], k)
+        u = pd.unique(grams)
+        return pd.DataFrame({"g": u, "doc_id": np.full(len(u), -1, dtype=np.int64)})
+
+    # benchmark side: distinct grams (benchmark-sized, like the exact
+    # op's broadcast set) -> fixed-size SBBF + marker rows for the join
+    bench = ds.map_batches(bench_grams, batch_format="pandas").to_pandas()
+    u = pd.unique(bench["g"]) if len(bench) else np.array([], dtype=object)
+    hashes = np.unique(pd.util.hash_array(u)) if len(u) else np.array([], dtype=np.uint64)
+    sbbf_hex = SplitBlockBloom.build_from_hashes(hashes).serialize()
+    bref = ray.put(sbbf_hex)
+    markers = ray.data.from_pandas(
+        pd.DataFrame({"g": u, "doc_id": np.full(len(u), -1, dtype=np.int64)})
+    )
+
+    class BloomProber:
+        def __init__(self, ref):
+            self.sbbf = SplitBlockBloom.deserialize(ray.get(ref))
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[batch["doc_id"] % bench_mod != 0].reset_index(drop=True)
+            pos, grams = text.kgram_positions(b["text"], k)
+            if not len(pos):
+                return pd.DataFrame(
+                    {"g": pd.Series([], dtype="object"),
+                     "doc_id": pd.Series([], dtype="int64")}
+                )
+            keep = self.sbbf.contains_hashes(pd.util.hash_array(grams))
+            return pd.DataFrame(
+                {"g": grams[keep],
+                 "doc_id": b["doc_id"].to_numpy()[pos[keep]].astype("int64")}
+            )
+
+    probed = ds.map_batches(
+        BloomProber, fn_constructor_args=(bref,), batch_format="pandas",
+        concurrency=pool_size(),
+    )
+
+    def per_gram(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")}
+        )
+        if len(g) == 0 or not (g["doc_id"] == -1).any():
+            return empty  # bloom false positive (or marker-only group)
+        hits = g[g["doc_id"] != -1]
+        if not len(hits):
+            return empty
+        vc = hits.groupby("doc_id").size()
+        return pd.DataFrame({"doc_id": vc.index.astype("int64"), "n": vc.to_numpy()})
+
+    parts = bucketed_group_apply(
+        probed.union(markers), ["g"], per_gram, min_group_size=2
+    ).to_pandas()
+    out = parts.groupby("doc_id", as_index=False)["n"].sum().rename(columns={"n": "n_hits"})
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_hits": "int64"}
+    )
+
+
 def pack_sequences(sf_dir: str) -> pd.DataFrame:
     """LLM sequence packing (concat-and-chop into 512-token sequences
     per language) via a distributed two-pass prefix sum — see
@@ -1028,6 +1106,21 @@ SELECT event_type,
        THEN {m}.0 * ln({m}.0 / zeros) ELSE raw END + 0.5) AS BIGINT) AS approx_users
 FROM est ORDER BY event_type"""
 
+# n-gram test-set overlap: benchmark = docs with doc_id % 10 = 0,
+# hit = any 8-token \S+ n-gram shared; n_hits counts positions.
+# Shared by the exact broadcast-set path (decontaminate) and the
+# SBBF-pruned two-stage path (decontaminate_bloom).
+_DECON_SQL = (
+    "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents), "
+    "kg AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6), "
+    "       i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g "
+    "       FROM toks WHERE len(t) >= 8), "
+    "bench AS (SELECT DISTINCT g FROM kg WHERE doc_id % 10 = 0) "
+    "SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_hits "
+    "FROM kg k JOIN bench b USING (g) WHERE k.doc_id % 10 <> 0 "
+    "GROUP BY k.doc_id"
+)
+
 QUERIES: dict[str, tuple] = {
     # (callable, oracle_sql or None)
     "range_filter": (
@@ -1319,19 +1412,12 @@ QUERIES: dict[str, tuple] = {
         " coalesce(t.top_bigram_count, 0) AS top_bigram_count "
         "FROM documents d LEFT JOIN top t USING (doc_id)",
     ),
-    "decontaminate": (
-        decontaminate,
-        # n-gram test-set overlap: benchmark = docs with doc_id % 10 = 0,
-        # hit = any 8-token \S+ n-gram shared; n_hits counts positions
-        "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents), "
-        "kg AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6), "
-        "       i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g "
-        "       FROM toks WHERE len(t) >= 8), "
-        "bench AS (SELECT DISTINCT g FROM kg WHERE doc_id % 10 = 0) "
-        "SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_hits "
-        "FROM kg k JOIN bench b USING (g) WHERE k.doc_id % 10 <> 0 "
-        "GROUP BY k.doc_id",
-    ),
+    "decontaminate": (decontaminate, _DECON_SQL),
+    # same oracle: the SBBF pre-filter has no false negatives and the
+    # exact semi-join kills its false positives, so the two pipelines
+    # are value-identical — hash-matching BOTH proves the bloom path
+    # loses nothing
+    "decontaminate_bloom": (decontaminate_bloom, _DECON_SQL),
     "dedup_exact": (
         dedup_exact,
         "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",

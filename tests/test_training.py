@@ -174,3 +174,35 @@ def test_length_quantiles_interpolation(ray_session):
     # ulp-level drift vs the closed form is fine (the oracle hash
     # rounds to 9 decimals)
     assert out["p90_chars"].iloc[0] == pytest.approx(40 + 0.7 * 60, abs=1e-9)
+
+
+def test_decontaminate_bloom_equals_exact(ray_session, tmp_path):
+    """The SBBF-pruned two-stage path must return exactly what the
+    broadcast-set exact path returns (no false negatives by SBBF
+    construction; false positives killed by the exact semi-join)."""
+    import numpy as np
+
+    from skar_ray.pipelines.registry import decontaminate, decontaminate_bloom
+
+    rng = np.random.default_rng(13)
+    words = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(120):
+        toks = [words[int(rng.integers(0, 60))] for _ in range(20)]
+        rows.append({"doc_id": i, "text": " ".join(toks), "lang": "en",
+                     "source": "s", "n_chars": 0})
+    # plant a shared 8-gram between a benchmark doc (id 30) and two
+    # non-benchmark docs
+    shared = " ".join(words[:8])
+    rows[30]["text"] += " " + shared
+    rows[41]["text"] += " " + shared
+    rows[77]["text"] = shared + " " + rows[77]["text"]
+    df = pd.DataFrame(rows)
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    p = tmp_path / "documents.parquet"
+    df.to_parquet(p, index=False)
+
+    exact = decontaminate(str(tmp_path))
+    bloom = decontaminate_bloom(str(tmp_path))
+    pd.testing.assert_frame_equal(exact, bloom)
+    assert set(exact["doc_id"]) >= {41, 77}
