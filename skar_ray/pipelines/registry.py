@@ -604,8 +604,7 @@ def decontaminate_bloom(sf_dir: str, k: int = 8, bench_mod: int = 10) -> pd.Data
     def bench_grams(batch: pd.DataFrame) -> pd.DataFrame:
         sub = batch[batch["doc_id"] % bench_mod == 0]
         _, grams = text.kgram_positions(sub["text"], k)
-        u = pd.unique(grams)
-        return pd.DataFrame({"g": u, "doc_id": np.full(len(u), -1, dtype=np.int64)})
+        return pd.DataFrame({"g": pd.unique(grams)})
 
     # benchmark side: distinct grams (benchmark-sized, like the exact
     # op's broadcast set) -> fixed-size SBBF + marker rows for the join

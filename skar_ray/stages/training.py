@@ -35,6 +35,7 @@ import pandas as pd
 import ray
 import ray.data
 
+from ..runtime import pool_size
 from .groups import bucketed_group_apply
 from .text import _TOKEN_RE
 
@@ -244,7 +245,15 @@ def unigram_commonness(ds: "ray.data.Dataset") -> pd.DataFrame:
             fs = pd.Series(0, index=batch.index, dtype="int64")
             if len(ex):
                 mapped = ex.map(self.freq).astype("int64")
-                fs = fs.add(mapped.groupby(level=0).sum(), fill_value=0).astype("int64")
+                # reindex keeps the sum in int64 end-to-end (Series.add
+                # with fill_value would round-trip through float64 and
+                # lose exactness past 2^53)
+                fs = (
+                    mapped.groupby(level=0)
+                    .sum()
+                    .reindex(batch.index, fill_value=0)
+                    .astype("int64")
+                )
             denom = n_tokens.replace(0, 1)
             return pd.DataFrame(
                 {
@@ -256,7 +265,8 @@ def unigram_commonness(ds: "ray.data.Dataset") -> pd.DataFrame:
             )
 
     out = ds.map_batches(
-        Scorer, fn_constructor_args=(ref,), batch_format="pandas", concurrency=2
+        Scorer, fn_constructor_args=(ref,), batch_format="pandas",
+        concurrency=pool_size(),
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -293,6 +303,9 @@ def kmeans_clusters(
     batch emits k partial rows (cluster, count, Σ-vector bytes) — the
     mergeable-sketch pattern — so the reduce is k-sized no matter the
     corpus.  The final pass emits (vec_id, cluster) only."""
+    # the dataset is consumed iters+1 times (init, each update, final
+    # assignment) — materialize once so lazy reads don't re-execute
+    ds = ds.materialize()
 
     def batch_mat(batch: pd.DataFrame) -> np.ndarray:
         return _quantize(np.stack(batch["embedding"].to_numpy()), scale, offset)
