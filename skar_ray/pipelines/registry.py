@@ -173,6 +173,28 @@ def query_encoded_corpus(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["repo", "path", "lang"]).reset_index(drop=True)
 
 
+def store_group_count(sf_dir: str, column: str = "lang") -> pd.DataFrame:
+    """GROUP BY on the ENCODED store without decoding the grouped
+    column — dict/rle aggregate pushdown (stats.store_value_counts);
+    reuses query_encoded_corpus's manifest-cached store.  The SQL
+    oracle recomputes the counts from the raw corpus parquet, so a
+    hash match proves the encoded-form counts are exact."""
+    from ..corpus import ensure_corpus, rows_for_sf, sf_from_dir
+    from .encode_job import run_encode_job
+    from .stats import store_value_counts
+
+    n = rows_for_sf(sf_from_dir(sf_dir), cap=20000)
+    d = ensure_corpus(n)
+    out = f"/tmp/skar_ray_encoded/n{n}"
+    os.makedirs(out, exist_ok=True)
+    run_encode_job(
+        os.path.join(d, "corpus.parquet"), out,
+        target_partition_bytes=16 << 20, chunk_target_bytes=8 << 20, resume=True,
+    )
+    res = store_value_counts(out, column)
+    return res.rename(columns={"value": column})
+
+
 def query_encoded_documents(sf_dir: str) -> pd.DataFrame:
     """SQL-verified query over the ENCODED store: encode the documents
     table, then evaluate a mixed string+numeric DNF directly on the
@@ -1321,6 +1343,13 @@ QUERIES: dict[str, tuple] = {
         query_encoded_tail,
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE lang = 'en' AND n_chars >= 300",
+    ),
+    "store_group_count": (
+        store_group_count,
+        # counts recomputed from the RAW corpus parquet: a hash match
+        # proves the encoded-form (dict/rle pushdown) counts are exact
+        f"SELECT lang, CAST(count(*) AS BIGINT) AS n FROM '{_CORPUS_GLOB_20K}' "
+        "GROUP BY lang",
     ),
     "compact_corpus": (compact_corpus, _CORPUS_IDENTITY_SQL.format(glob=_CORPUS_GLOB_5K)),
     "append_corpus": (append_corpus, _CORPUS_IDENTITY_SQL.format(glob=_CORPUS_GLOB_5K)),

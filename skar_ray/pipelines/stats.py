@@ -32,6 +32,60 @@ def store_stats(out_dir: str) -> pd.DataFrame:
     )
 
 
+def store_value_counts(out_dir: str, column: str) -> pd.DataFrame:
+    """GROUP BY ``column`` → COUNT(*) over an encoded store WITHOUT
+    decoding the column: one Ray task per partition seeks straight to
+    the column's chunk blobs and counts on the encoded form
+    (``encoded_value_counts`` — dict index bincount / rle run-length
+    sums), falling back to decode+value_counts for codecs that don't
+    support pushdown.  Per-partition results are value-cardinality-
+    sized dicts, merged on the driver (same scale class as the
+    manifests themselves)."""
+    import ray
+
+    from ..codecs import auto
+    from ..state import container
+
+    ms = manifest_mod.scan_manifests(out_dir)
+
+    @ray.remote
+    def part_counts(path: str) -> dict:
+        import os
+
+        import pyarrow.compute as pc
+
+        header, blob_start = container.read_header(path)
+        agg: dict = {}
+        with open(path, "rb") as f:
+            for ch in header["chunks"]:
+                cm = next(c for c in ch["columns"] if c["name"] == column)
+                f.seek(blob_start + cm["offset"])
+                blob = f.read(cm["length"])
+                d = container.encoded_value_counts(blob, cm)
+                if d is None:
+                    arr = auto.decode_column(blob, cm["meta"], cm["page"], cm["payload_len"])
+                    vc = pc.value_counts(arr)
+                    d = {r["values"]: r["counts"] for r in vc.to_pylist()}
+                for v, c in d.items():
+                    agg[v] = agg.get(v, 0) + c
+        return agg
+
+    import os
+
+    refs = [
+        part_counts.remote(os.path.join(out_dir, m.data_file))
+        for _, m in sorted(ms.items())
+    ]
+    total: dict = {}
+    for agg in ray.get(refs):
+        for v, c in agg.items():
+            total[v] = total.get(v, 0) + c
+    out = pd.DataFrame(
+        {"value": list(total.keys()), "n": list(total.values())}
+    )
+    return out.sort_values("value").reset_index(drop=True).astype({"n": "int64"})
+
+
 def store_health(out_dir: str) -> dict:
     """Partition-level invariants a monitoring job would watch."""
     ms = manifest_mod.scan_manifests(out_dir)

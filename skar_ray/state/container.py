@@ -285,6 +285,47 @@ def encoded_equality_mask(blob: bytes, cm: dict, values: list) -> "np.ndarray | 
     return encoded_clause_mask(blob, cm, "in", values)
 
 
+def encoded_value_counts(blob: bytes, cm: dict) -> "dict | None":
+    """Per-value row counts computed directly on the ENCODED form —
+    aggregate pushdown, the GROUP-BY analog of ``encoded_clause_mask``:
+    dict chunks bincount their index stream, rle chunks sum run lengths
+    per code; only the (small) dictionary ever decodes, the value
+    column is never materialized.  Returns None when the codec/meta
+    doesn't support it (caller decodes and counts — exact either way)."""
+    import numpy as np
+
+    from ..codecs import base as cbase
+    from ..codecs.for_bitpack import bitunpack, unpack_ints_with_reference
+    from ..codecs.plain import PlainCodec
+
+    meta = cm["meta"]
+    if meta.get("has_nulls"):
+        return None
+    if cm["codec"] not in ("dict", "rle"):
+        return None
+    n = meta["n"]
+    payload = auto.page_decompress(blob, cm["page"], cm["payload_len"])
+    plain = PlainCodec()
+    if cm["codec"] == "dict":
+        _nulls, idx_payload, val_payload = cbase.unpack_sections(payload)
+        vm = meta["values_meta"]
+        dict_vals = plain.decode(val_payload, vm, vm["n"])
+        indices = bitunpack(idx_payload, meta["width"], n).astype(np.int64)
+        counts = np.bincount(indices, minlength=len(dict_vals))
+    else:
+        _nulls, codes_payload, lens_payload, val_payload = cbase.unpack_sections(payload)
+        k = meta["n_runs"]
+        run_codes = unpack_ints_with_reference(codes_payload, meta["codes_meta"], k).astype(np.int64)
+        run_lens = unpack_ints_with_reference(lens_payload, meta["lens_meta"], k).astype(np.int64)
+        vm = meta["values_meta"]
+        dict_vals = plain.decode(val_payload, vm, vm["n"])
+        counts = np.zeros(len(dict_vals), dtype=np.int64)
+        np.add.at(counts, run_codes, run_lens)  # integer-exact
+    return {
+        v: int(c) for v, c in zip(dict_vals.to_pylist(), counts.tolist()) if c
+    }
+
+
 def _chunk_stats_of(ch) -> "callable":
     """stats_of(col) over a chunk's stored per-column stats (typed dict
     with optional distinct/bloom; legacy [lo, hi] string pair)."""
