@@ -32,23 +32,30 @@ def pa_table_len(t):
     )
 
 
-def _host_probe(workers: int = 8) -> float:
-    """Fixed multi-core kernel, best-of-2, in seconds — a host-phase
-    indicator recorded alongside every run.  This shared VM swings
-    >±30% between phases and the contention is MULTI-core (single-core
-    probes read flat while 32-way stages degrade 2×), so the probe
-    sorts fixed arrays on `workers` processes concurrently.  Readers
-    normalize bench numbers across rounds/phases with it."""
+def _host_probe() -> dict:
+    """Fixed multi-core sort kernel at widths 8 and 32 (best-of-2 each)
+    — the host-phase indicator recorded with every run.  This shared VM
+    periodically delivers far fewer effective cores than its 32 vCPUs:
+    measured mid-degradation, per-process wall at width 32 was 2.4× the
+    width-8 value (≈13 effective cores) while single-core and 8-way
+    probes read flat — exactly the phases where identical-code encode
+    walls swing 12.5→22 s.  ``ratio_32_over_8`` near 1.0 = healthy
+    host; ≫1 = degraded.  Compare these keys across rounds to separate
+    host drift from code changes."""
     import multiprocessing as mp
 
-    best = None
-    with mp.Pool(workers) as pool:
-        for _ in range(2):
-            t0 = time.time()
-            pool.map(_probe_kernel, range(workers))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-    return round(best, 4)
+    out = {}
+    for w in (8, 32):
+        best = None
+        with mp.Pool(w) as pool:
+            for _ in range(2):
+                t0 = time.time()
+                pool.map(_probe_kernel, range(w))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+        out[f"probe_{w}"] = round(best, 4)
+    out["ratio_32_over_8"] = round(out["probe_32"] / max(1e-9, out["probe_8"]), 3)
+    return out
 
 
 def _probe_kernel(seed: int) -> int:
@@ -196,10 +203,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "queries": queries,
         "sf": sf,
         "num_cpus": num_cpus,
-        # host-phase indicator: fixed 8-process sort kernel, best-of-2.
-        # A RELATIVE signal — compare this key across runs/rounds to
-        # tell host drift from code changes on this shared VM
-        "host_probe_s": _host_probe(),
+        # host-phase indicator (see _host_probe): probe_8/probe_32
+        # walls + their ratio — ratio ≈1 healthy, ≫1 = the VM is
+        # delivering fewer effective cores than its 32 vCPUs
+        "host_probe": _host_probe(),
         "encode_runs": encode_runs,
         "corpus_rows": n_rows,
         "raw_content_bytes": raw_content_bytes,
