@@ -69,3 +69,31 @@ def test_fsst_piece_boundaries(data):
     """Round-trip across the 64 KiB piece boundary of the encoder."""
     t = SymbolTable(train_symbols(data))
     assert t.decode_buffer(t.encode_buffer(data)) == data
+
+
+@settings(**_SETTINGS)
+@given(data=st.binary(min_size=16, max_size=8192))
+def test_window_counts_match_void_unique(data):
+    """The uint64-packed (L<=8) and FNV-hashed (L>8) window counters
+    must agree with the void-view np.unique ground truth — same
+    distinct-window count, same count multiset, and every recovered
+    representative must be a real window."""
+    import numpy as np
+
+    from skar_ray.codecs.fsst import _window_counts
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    for L in (2, 5, 8, 9, 13):
+        if len(buf) <= L:
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(buf, L)
+        win = np.ascontiguousarray(win[(win < 0x80).all(axis=1)])
+        if len(win) == 0:
+            continue
+        idx, counts = _window_counts(win, L)
+        view = win.view(np.dtype((np.void, L))).ravel()
+        _, ref_counts = np.unique(view, return_counts=True)
+        assert len(counts) == len(ref_counts)
+        assert sorted(counts.tolist()) == sorted(ref_counts.tolist())
+        grams = {win[i].tobytes() for i in idx.tolist()}
+        assert len(grams) == len(counts)  # representatives are distinct windows

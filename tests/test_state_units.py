@@ -180,3 +180,34 @@ def test_store_value_counts_matches_decode(ray_session):
         )
         pd.testing.assert_frame_equal(got, want)
     assert int(got["n"].sum()) == 2000
+
+
+def test_store_value_counts_rle_and_dict_paths(ray_session):
+    """Force both pushdown codecs explicitly: lang as rle, repo as dict
+    — counts from the encoded form must match the source exactly."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from skar_ray.corpus import ensure_corpus
+    from skar_ray.pipelines.encode_job import run_encode_job
+    from skar_ray.pipelines.stats import store_value_counts
+
+    d = ensure_corpus(2000)
+    src = os.path.join(d, "corpus.parquet")
+    out = "/tmp/skar_pytest_vcounts_forced"
+    shutil.rmtree(out, ignore_errors=True)
+    run_encode_job(src, out, target_partition_bytes=2 << 20,
+                   chunk_target_bytes=1 << 20,
+                   codec_overrides={"lang": "rle", "repo": "dict"})
+    raw = pq.read_table(src)
+    for col in ("lang", "repo"):
+        got = store_value_counts(out, col)
+        want = (
+            raw.column(col).to_pandas().value_counts().rename_axis("value")
+            .reset_index(name="n").sort_values("value").reset_index(drop=True)
+            .astype({"n": "int64"})
+        )
+        pd.testing.assert_frame_equal(got, want)
