@@ -236,7 +236,9 @@ def postings_batch(batch: pd.DataFrame) -> pd.DataFrame:
     per-batch ``groupby.min`` is already FINAL — the index build is a
     pure map-side op, no global reduce (the posting list for a token is
     the concatenation of these rows across batches; consumers that need
-    them contiguous group on ``tok``, which is the only wide step)."""
+    them contiguous group on ``tok``, which is the only wide step).
+    Reference analog: the per-row-group distinct value-set index build,
+    /root/reference/skar/src/build_parquet_idx.rs:89-166."""
     toks = batch["text"].reset_index(drop=True).str.findall(_TOKEN_RE)
     ex = toks.explode().dropna()
     if not len(ex):
@@ -267,7 +269,9 @@ def length_quantile_stats(ds: "ray.data.Dataset") -> pd.DataFrame:
     (n_langs × distinct lengths)-sized regardless of corpus size, and
     quantile_cont-style linear interpolation is evaluated on the exact
     counts (matches DuckDB ``median`` / ``quantile_cont`` semantics:
-    h = (n-1)·q, v_lo + (h - ⌊h⌋)(v_hi - v_lo))."""
+    h = (n-1)·q, v_lo + (h - ⌊h⌋)(v_hi - v_lo)).  Reference analog:
+    the grouped per-folder column stats the write path computes,
+    /root/reference/skar/src/build_parquet_idx.rs:50-84."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby(["lang", "n_chars"], as_index=False).size()
