@@ -195,6 +195,26 @@ def store_group_count(sf_dir: str, column: str = "lang") -> pd.DataFrame:
     return res.rename(columns={"value": column})
 
 
+def store_group_bytes_corpus(sf_dir: str) -> pd.DataFrame:
+    """Bytes-per-language report straight from the ENCODED store: group
+    codes from lang's dict/rle stream, byte volumes from content's
+    encoded length sidecar — no string decode anywhere
+    (stats.store_group_bytes); reuses the cached corpus store."""
+    from ..corpus import ensure_corpus, rows_for_sf, sf_from_dir
+    from .encode_job import run_encode_job
+    from .stats import store_group_bytes
+
+    n = rows_for_sf(sf_from_dir(sf_dir), cap=20000)
+    d = ensure_corpus(n)
+    out = f"/tmp/skar_ray_encoded/n{n}"
+    os.makedirs(out, exist_ok=True)
+    run_encode_job(
+        os.path.join(d, "corpus.parquet"), out,
+        target_partition_bytes=16 << 20, chunk_target_bytes=8 << 20, resume=True,
+    )
+    return store_group_bytes(out, "lang", "content").rename(columns={"value": "lang"})
+
+
 def query_encoded_documents(sf_dir: str) -> pd.DataFrame:
     """SQL-verified query over the ENCODED store: encode the documents
     table, then evaluate a mixed string+numeric DNF directly on the
@@ -1350,6 +1370,14 @@ QUERIES: dict[str, tuple] = {
         # proves the encoded-form (dict/rle pushdown) counts are exact
         f"SELECT lang, CAST(count(*) AS BIGINT) AS n FROM '{_CORPUS_GLOB_20K}' "
         "GROUP BY lang",
+    ),
+    "store_group_bytes": (
+        store_group_bytes_corpus,
+        # byte volumes recomputed from the RAW parquet (strlen = bytes):
+        # a hash match proves the no-decode grouped sums are exact
+        f"SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(sum(strlen(content)) AS BIGINT) AS total_bytes "
+        f"FROM '{_CORPUS_GLOB_20K}' GROUP BY lang",
     ),
     "compact_corpus": (compact_corpus, _CORPUS_IDENTITY_SQL.format(glob=_CORPUS_GLOB_5K)),
     "append_corpus": (append_corpus, _CORPUS_IDENTITY_SQL.format(glob=_CORPUS_GLOB_5K)),

@@ -86,6 +86,88 @@ def store_value_counts(out_dir: str, column: str) -> pd.DataFrame:
     return out.sort_values("value").reset_index(drop=True).astype({"n": "int64"})
 
 
+def store_group_bytes(out_dir: str, group_col: str, value_col: str) -> pd.DataFrame:
+    """GROUP BY ``group_col`` → COUNT(*), SUM(byte length of
+    ``value_col``) over an encoded store with NO string decode: group
+    keys come from the dict/rle code streams (``encoded_group_codes``),
+    byte lengths from the value column's encoded sidecar
+    (``encoded_byte_lengths`` — fsst's FoR-packed length stream, plain's
+    stored lengths, dict/rle's dictionary lengths).  The corpus-sized
+    value bytes never leave disk; decode fallbacks keep exactness for
+    unsupported codecs.  One Ray task per partition, value-cardinality-
+    sized merges."""
+    import ray
+
+    from ..codecs import auto
+    from ..state import container
+
+    ms = manifest_mod.scan_manifests(out_dir)
+
+    @ray.remote
+    def part_sums(path: str) -> dict:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        header, blob_start = container.read_header(path)
+        agg: dict = {}
+        with open(path, "rb") as f:
+
+            def blob_of(cm):
+                f.seek(blob_start + cm["offset"])
+                return f.read(cm["length"])
+
+            for ch in header["chunks"]:
+                metas = {cm["name"]: cm for cm in ch["columns"]}
+                gcm, vcm = metas[group_col], metas[value_col]
+                gc = container.encoded_group_codes(blob_of(gcm), gcm)
+                if gc is None:  # fallback: decode group keys + factorize
+                    arr = auto.decode_column(
+                        blob_of(gcm), gcm["meta"], gcm["page"], gcm["payload_len"]
+                    )
+                    enc = pc.dictionary_encode(arr)
+                    codes = np.asarray(enc.indices).astype(np.int64)
+                    dict_vals = enc.dictionary
+                else:
+                    codes, dict_vals = gc
+                lens = container.encoded_byte_lengths(blob_of(vcm), vcm)
+                if lens is None:  # fallback: decode values + byte lengths
+                    varr = auto.decode_column(
+                        blob_of(vcm), vcm["meta"], vcm["page"], vcm["payload_len"]
+                    )
+                    lens = np.asarray(pc.binary_length(varr)).astype(np.int64)
+                k = len(dict_vals)
+                n_rows = np.bincount(codes, minlength=k)
+                n_bytes = np.zeros(k, dtype=np.int64)
+                np.add.at(n_bytes, codes, lens)
+                for v, r, b in zip(dict_vals.to_pylist(), n_rows.tolist(), n_bytes.tolist()):
+                    if r:
+                        cur = agg.get(v, (0, 0))
+                        agg[v] = (cur[0] + r, cur[1] + b)
+        return agg
+
+    import os
+
+    refs = [
+        part_sums.remote(os.path.join(out_dir, m.data_file))
+        for _, m in sorted(ms.items())
+    ]
+    total: dict = {}
+    for agg in ray.get(refs):
+        for v, (r, b) in agg.items():
+            cur = total.get(v, (0, 0))
+            total[v] = (cur[0] + r, cur[1] + b)
+    out = pd.DataFrame(
+        {
+            "value": list(total.keys()),
+            "n": [r for r, _ in total.values()],
+            "total_bytes": [b for _, b in total.values()],
+        }
+    )
+    return out.sort_values("value").reset_index(drop=True).astype(
+        {"n": "int64", "total_bytes": "int64"}
+    )
+
+
 def store_health(out_dir: str) -> dict:
     """Partition-level invariants a monitoring job would watch."""
     ms = manifest_mod.scan_manifests(out_dir)

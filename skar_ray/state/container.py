@@ -285,6 +285,73 @@ def encoded_equality_mask(blob: bytes, cm: dict, values: list) -> "np.ndarray | 
     return encoded_clause_mask(blob, cm, "in", values)
 
 
+def encoded_group_codes(blob: bytes, cm: dict):
+    """(per-row integer code stream, dictionary values) for a dict/rle
+    chunk — the grouped-aggregation building block: group keys stay as
+    small ints, only the dictionary decodes.  None when unsupported."""
+    import numpy as np
+
+    from ..codecs import base as cbase
+    from ..codecs.for_bitpack import bitunpack, unpack_ints_with_reference
+    from ..codecs.plain import PlainCodec
+
+    meta = cm["meta"]
+    if meta.get("has_nulls") or cm["codec"] not in ("dict", "rle"):
+        return None
+    n = meta["n"]
+    payload = auto.page_decompress(blob, cm["page"], cm["payload_len"])
+    plain = PlainCodec()
+    if cm["codec"] == "dict":
+        _nulls, idx_payload, val_payload = cbase.unpack_sections(payload)
+        vm = meta["values_meta"]
+        dict_vals = plain.decode(val_payload, vm, vm["n"])
+        codes = bitunpack(idx_payload, meta["width"], n).astype(np.int64)
+    else:
+        _nulls, codes_payload, lens_payload, val_payload = cbase.unpack_sections(payload)
+        k = meta["n_runs"]
+        run_codes = unpack_ints_with_reference(codes_payload, meta["codes_meta"], k).astype(np.int64)
+        run_lens = unpack_ints_with_reference(lens_payload, meta["lens_meta"], k).astype(np.int64)
+        vm = meta["values_meta"]
+        dict_vals = plain.decode(val_payload, vm, vm["n"])
+        codes = np.repeat(run_codes, run_lens)
+    return codes, dict_vals
+
+
+def encoded_byte_lengths(blob: bytes, cm: dict) -> "np.ndarray | None":
+    """Per-row BYTE length of a string column straight from the encoded
+    form — fsst carries the length stream as its FoR-packed sidecar,
+    plain strings store it outright, and dict/rle index into the
+    dictionary's value lengths; the value bytes themselves never
+    materialize.  None when the codec/meta doesn't support it."""
+    import numpy as np
+
+    from ..codecs import base as cbase
+    from ..codecs.for_bitpack import unpack_ints_with_reference
+
+    meta = cm["meta"]
+    if meta.get("has_nulls"):
+        return None
+    n = meta["n"]
+    t = base.type_from_name(meta.get("type", ""))
+    if not base.is_string_like(t):
+        return None
+    payload = auto.page_decompress(blob, cm["page"], cm["payload_len"])
+    if cm["codec"] == "fsst":
+        _nulls, lens_payload, _table, _enc = cbase.unpack_sections(payload)
+        return unpack_ints_with_reference(lens_payload, meta["lens_meta"], n).astype(np.int64)
+    if cm["codec"] == "plain":
+        sections = cbase.unpack_sections(payload)
+        return np.frombuffer(sections[1], dtype=np.int64)
+    gc = encoded_group_codes(blob, cm)
+    if gc is None:
+        return None
+    codes, dict_vals = gc
+    import pyarrow.compute as pc
+
+    val_lens = np.asarray(pc.binary_length(dict_vals)).astype(np.int64)
+    return val_lens[codes]
+
+
 def encoded_value_counts(blob: bytes, cm: dict) -> "dict | None":
     """Per-value row counts computed directly on the ENCODED form —
     aggregate pushdown, the GROUP-BY analog of ``encoded_clause_mask``:

@@ -211,3 +211,47 @@ def test_store_value_counts_rle_and_dict_paths(ray_session):
             .astype({"n": "int64"})
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_encoded_byte_lengths_all_string_codecs(ray_session):
+    """Byte-length extraction from the encoded form must match decoded
+    binary_length for every string codec actually present in a real
+    store (fsst/dict/rle/plain forced via overrides)."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from skar_ray.codecs import auto
+    from skar_ray.corpus import ensure_corpus
+    from skar_ray.pipelines.encode_job import run_encode_job
+    from skar_ray.state import container, manifest as manifest_mod
+
+    d = ensure_corpus(2000)
+    src = os.path.join(d, "corpus.parquet")
+    out = "/tmp/skar_pytest_blens"
+    shutil.rmtree(out, ignore_errors=True)
+    run_encode_job(src, out, target_partition_bytes=2 << 20,
+                   chunk_target_bytes=1 << 20,
+                   codec_overrides={"lang": "rle", "repo": "dict",
+                                    "content": "fsst", "path": "plain"})
+    ms = manifest_mod.scan_manifests(out)
+    seen = set()
+    for _, m in sorted(ms.items()):
+        path = os.path.join(out, m.data_file)
+        header, blob_start = container.read_header(path)
+        with open(path, "rb") as f:
+            for ch in header["chunks"]:
+                for cm in ch["columns"]:
+                    if cm["name"] not in ("lang", "repo", "content", "path"):
+                        continue
+                    f.seek(blob_start + cm["offset"])
+                    blob = f.read(cm["length"])
+                    lens = container.encoded_byte_lengths(blob, cm)
+                    assert lens is not None, cm["codec"]
+                    seen.add(cm["codec"])
+                    arr = auto.decode_column(blob, cm["meta"], cm["page"], cm["payload_len"])
+                    want = np.asarray(pc.binary_length(arr)).astype(np.int64)
+                    assert np.array_equal(lens, want), (cm["name"], cm["codec"])
+    assert {"rle", "dict", "fsst", "plain"} <= seen
