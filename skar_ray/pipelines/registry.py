@@ -215,6 +215,29 @@ def store_group_bytes_corpus(sf_dir: str) -> pd.DataFrame:
     return store_group_bytes(out, "lang", "content").rename(columns={"value": "lang"})
 
 
+def store_filtered_group_count_corpus(sf_dir: str) -> pd.DataFrame:
+    """WHERE path LIKE 'src/%' AND lang IN (...) GROUP BY repo, with
+    chunk pruning, the DNF mask AND the grouped count all evaluated on
+    the encoded form (stats.store_filtered_group_count) — the composed
+    skar query pipeline (prune → mask → aggregate) over the cached
+    corpus store."""
+    from ..corpus import ensure_corpus, rows_for_sf, sf_from_dir
+    from .encode_job import run_encode_job
+    from .stats import store_filtered_group_count
+
+    n = rows_for_sf(sf_from_dir(sf_dir), cap=20000)
+    d = ensure_corpus(n)
+    out = f"/tmp/skar_ray_encoded/n{n}"
+    os.makedirs(out, exist_ok=True)
+    run_encode_job(
+        os.path.join(d, "corpus.parquet"), out,
+        target_partition_bytes=16 << 20, chunk_target_bytes=8 << 20, resume=True,
+    )
+    dnf = [[("path", "prefix", "src/"), ("lang", "in", ["go", "python", "ruby"])]]
+    res = store_filtered_group_count(out, "repo", dnf)
+    return res.rename(columns={"value": "repo"})
+
+
 def query_encoded_documents(sf_dir: str) -> pd.DataFrame:
     """SQL-verified query over the ENCODED store: encode the documents
     table, then evaluate a mixed string+numeric DNF directly on the
@@ -1378,6 +1401,12 @@ QUERIES: dict[str, tuple] = {
         f"SELECT lang, CAST(count(*) AS BIGINT) AS n, "
         f"CAST(sum(strlen(content)) AS BIGINT) AS total_bytes "
         f"FROM '{_CORPUS_GLOB_20K}' GROUP BY lang",
+    ),
+    "store_filtered_group_count": (
+        store_filtered_group_count_corpus,
+        f"SELECT repo, CAST(count(*) AS BIGINT) AS n FROM '{_CORPUS_GLOB_20K}' "
+        "WHERE path LIKE 'src/%' AND lang IN ('go', 'python', 'ruby') "
+        "GROUP BY repo",
     ),
     "compact_corpus": (compact_corpus, _CORPUS_IDENTITY_SQL.format(glob=_CORPUS_GLOB_5K)),
     "append_corpus": (append_corpus, _CORPUS_IDENTITY_SQL.format(glob=_CORPUS_GLOB_5K)),

@@ -168,6 +168,92 @@ def store_group_bytes(out_dir: str, group_col: str, value_col: str) -> pd.DataFr
     )
 
 
+def store_filtered_group_count(out_dir: str, group_col: str, dnf) -> pd.DataFrame:
+    """WHERE <dnf> GROUP BY ``group_col`` → COUNT(*) with BOTH the
+    filter and the aggregation evaluated on the encoded form: chunks
+    are first pruned by their stats (``dnf_possible``), surviving
+    chunks build the row mask via ``encoded_clause_mask`` (dict/rle
+    dictionaries, FoR int streams — decode+compare fallback) and count
+    group codes under the mask — the composed skar query pipeline
+    (prune → mask → aggregate) with no value decode on the happy path."""
+    import ray
+
+    from ..codecs import auto
+    from ..state import container
+    from ..state.pruning import dnf_possible
+
+    ms = manifest_mod.scan_manifests(out_dir)
+
+    @ray.remote
+    def part_counts(path: str) -> dict:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        header, blob_start = container.read_header(path)
+        agg: dict = {}
+        with open(path, "rb") as f:
+
+            def blob_of(cm):
+                f.seek(blob_start + cm["offset"])
+                return f.read(cm["length"])
+
+            for ch in header["chunks"]:
+                stats_of = container._chunk_stats_of(ch)
+                if not dnf_possible(stats_of, dnf):
+                    continue  # chunk pruned: nothing read at all
+                metas = {cm["name"]: cm for cm in ch["columns"]}
+                mask = None
+                for conj in dnf:
+                    m = None
+                    for col, op, value in conj:
+                        cm = metas[col]
+                        cmask = container.encoded_clause_mask(blob_of(cm), cm, op, value)
+                        if cmask is None:
+                            arr = auto.decode_column(
+                                blob_of(cm), cm["meta"], cm["page"], cm["payload_len"]
+                            )
+                            from .query_encoded import _clause_compute
+
+                            cmask = np.asarray(
+                                pc.fill_null(_clause_compute(arr, op, value), False)
+                            )
+                        m = cmask if m is None else (m & cmask)
+                        if not m.any():
+                            break
+                    mask = m if mask is None else (mask | m)
+                if mask is None or not mask.any():
+                    continue
+                gcm = metas[group_col]
+                gc = container.encoded_group_codes(blob_of(gcm), gcm)
+                if gc is None:
+                    arr = auto.decode_column(
+                        blob_of(gcm), gcm["meta"], gcm["page"], gcm["payload_len"]
+                    )
+                    enc = pc.dictionary_encode(arr)
+                    codes = np.asarray(enc.indices).astype(np.int64)
+                    dict_vals = enc.dictionary
+                else:
+                    codes, dict_vals = gc
+                counts = np.bincount(codes[mask], minlength=len(dict_vals))
+                for v, c in zip(dict_vals.to_pylist(), counts.tolist()):
+                    if c:
+                        agg[v] = agg.get(v, 0) + c
+        return agg
+
+    import os
+
+    refs = [
+        part_counts.remote(os.path.join(out_dir, m.data_file))
+        for _, m in sorted(ms.items())
+    ]
+    total: dict = {}
+    for agg in ray.get(refs):
+        for v, c in agg.items():
+            total[v] = total.get(v, 0) + c
+    out = pd.DataFrame({"value": list(total.keys()), "n": list(total.values())})
+    return out.sort_values("value").reset_index(drop=True).astype({"n": "int64"})
+
+
 def store_health(out_dir: str) -> dict:
     """Partition-level invariants a monitoring job would watch."""
     ms = manifest_mod.scan_manifests(out_dir)
