@@ -274,6 +274,12 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16, repeats: int = 2) -> dic
         "sf": results[hi]["sf"],
         "num_cpus": hi,
         "queries": {f"encode_{lo}cpu": t_lo, f"encode_{hi}cpu": t_hi},
+        # phase context per level (see _host_probe): a degraded-phase
+        # denominator or numerator shows up here, not as a code change
+        "host_probe": {
+            str(lo): results[lo].get("host_probe"),
+            str(hi): results[hi].get("host_probe"),
+        },
     }
 
 
