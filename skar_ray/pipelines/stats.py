@@ -6,6 +6,8 @@ health (row counts, digests present, fingerprints)."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from ..state import manifest as manifest_mod
@@ -50,7 +52,6 @@ def store_value_counts(out_dir: str, column: str) -> pd.DataFrame:
 
     @ray.remote
     def part_counts(path: str) -> dict:
-        import os
 
         import pyarrow.compute as pc
 
@@ -70,7 +71,6 @@ def store_value_counts(out_dir: str, column: str) -> pd.DataFrame:
                     agg[v] = agg.get(v, 0) + c
         return agg
 
-    import os
 
     refs = [
         part_counts.remote(os.path.join(out_dir, m.data_file))
@@ -145,7 +145,6 @@ def store_group_bytes(out_dir: str, group_col: str, value_col: str) -> pd.DataFr
                         agg[v] = (cur[0] + r, cur[1] + b)
         return agg
 
-    import os
 
     refs = [
         part_sums.remote(os.path.join(out_dir, m.data_file))
@@ -240,7 +239,6 @@ def store_filtered_group_count(out_dir: str, group_col: str, dnf) -> pd.DataFram
                         agg[v] = agg.get(v, 0) + c
         return agg
 
-    import os
 
     refs = [
         part_counts.remote(os.path.join(out_dir, m.data_file))
