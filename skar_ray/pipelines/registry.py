@@ -149,15 +149,14 @@ def encode_roundtrip_map(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def query_encoded_corpus(sf_dir: str) -> pd.DataFrame:
-    """skar-query-path analog over ENCODED partitions: encode the seeded
-    corpus once (manifest-resumed cache), then run a projected DNF
-    query with manifest-based partition pruning.  Deterministic."""
+def _corpus_store(sf_dir: str, cap: int = 20000) -> str:
+    """Encode the seeded corpus once into the shared manifest-resumed
+    cache and return the store dir (all encoded-store queries reuse
+    it; re-runs cost one manifest scan)."""
     from ..corpus import ensure_corpus, rows_for_sf, sf_from_dir
     from .encode_job import run_encode_job
-    from .query_encoded import query_encoded
 
-    n = rows_for_sf(sf_from_dir(sf_dir), cap=20000)
+    n = rows_for_sf(sf_from_dir(sf_dir), cap=cap)
     d = ensure_corpus(n)
     out = f"/tmp/skar_ray_encoded/n{n}"
     os.makedirs(out, exist_ok=True)
@@ -165,6 +164,16 @@ def query_encoded_corpus(sf_dir: str) -> pd.DataFrame:
         os.path.join(d, "corpus.parquet"), out,
         target_partition_bytes=16 << 20, chunk_target_bytes=8 << 20, resume=True,
     )
+    return out
+
+
+def query_encoded_corpus(sf_dir: str) -> pd.DataFrame:
+    """skar-query-path analog over ENCODED partitions: encode the seeded
+    corpus once (manifest-resumed cache), then run a projected DNF
+    query with manifest-based partition pruning.  Deterministic."""
+    from .query_encoded import query_encoded
+
+    out = _corpus_store(sf_dir)
     res = query_encoded(
         out,
         columns=["repo", "path", "lang"],
@@ -179,19 +188,9 @@ def store_group_count(sf_dir: str, column: str = "lang") -> pd.DataFrame:
     reuses query_encoded_corpus's manifest-cached store.  The SQL
     oracle recomputes the counts from the raw corpus parquet, so a
     hash match proves the encoded-form counts are exact."""
-    from ..corpus import ensure_corpus, rows_for_sf, sf_from_dir
-    from .encode_job import run_encode_job
     from .stats import store_value_counts
 
-    n = rows_for_sf(sf_from_dir(sf_dir), cap=20000)
-    d = ensure_corpus(n)
-    out = f"/tmp/skar_ray_encoded/n{n}"
-    os.makedirs(out, exist_ok=True)
-    run_encode_job(
-        os.path.join(d, "corpus.parquet"), out,
-        target_partition_bytes=16 << 20, chunk_target_bytes=8 << 20, resume=True,
-    )
-    res = store_value_counts(out, column)
+    res = store_value_counts(_corpus_store(sf_dir), column)
     return res.rename(columns={"value": column})
 
 
@@ -200,18 +199,9 @@ def store_group_bytes_corpus(sf_dir: str) -> pd.DataFrame:
     codes from lang's dict/rle stream, byte volumes from content's
     encoded length sidecar — no string decode anywhere
     (stats.store_group_bytes); reuses the cached corpus store."""
-    from ..corpus import ensure_corpus, rows_for_sf, sf_from_dir
-    from .encode_job import run_encode_job
     from .stats import store_group_bytes
 
-    n = rows_for_sf(sf_from_dir(sf_dir), cap=20000)
-    d = ensure_corpus(n)
-    out = f"/tmp/skar_ray_encoded/n{n}"
-    os.makedirs(out, exist_ok=True)
-    run_encode_job(
-        os.path.join(d, "corpus.parquet"), out,
-        target_partition_bytes=16 << 20, chunk_target_bytes=8 << 20, resume=True,
-    )
+    out = _corpus_store(sf_dir)
     return store_group_bytes(out, "lang", "content").rename(columns={"value": "lang"})
 
 
@@ -221,20 +211,10 @@ def store_filtered_group_count_corpus(sf_dir: str) -> pd.DataFrame:
     the encoded form (stats.store_filtered_group_count) — the composed
     skar query pipeline (prune → mask → aggregate) over the cached
     corpus store."""
-    from ..corpus import ensure_corpus, rows_for_sf, sf_from_dir
-    from .encode_job import run_encode_job
     from .stats import store_filtered_group_count
 
-    n = rows_for_sf(sf_from_dir(sf_dir), cap=20000)
-    d = ensure_corpus(n)
-    out = f"/tmp/skar_ray_encoded/n{n}"
-    os.makedirs(out, exist_ok=True)
-    run_encode_job(
-        os.path.join(d, "corpus.parquet"), out,
-        target_partition_bytes=16 << 20, chunk_target_bytes=8 << 20, resume=True,
-    )
     dnf = [[("path", "prefix", "src/"), ("lang", "in", ["go", "python", "ruby"])]]
-    res = store_filtered_group_count(out, "repo", dnf)
+    res = store_filtered_group_count(_corpus_store(sf_dir), "repo", dnf)
     return res.rename(columns={"value": "repo"})
 
 
