@@ -42,7 +42,13 @@ def store_value_counts(out_dir: str, column: str) -> pd.DataFrame:
     sums), falling back to decode+value_counts for codecs that don't
     support pushdown.  Per-partition results are value-cardinality-
     sized dicts, merged on the driver (same scale class as the
-    manifests themselves)."""
+    manifests themselves).
+
+    Contract: the GROUP cardinality must be result-sized — it IS the
+    returned result (lang, repo, event_type...).  Grouping by a
+    near-unique key (e.g. ``commit``) makes the result corpus-sized;
+    that shape belongs on the decode + ``bucketed_group_apply``
+    exchange path with a written (not returned) output."""
     import ray
 
     from ..codecs import auto
@@ -95,7 +101,8 @@ def store_group_bytes(out_dir: str, group_col: str, value_col: str) -> pd.DataFr
     stored lengths, dict/rle's dictionary lengths).  The corpus-sized
     value bytes never leave disk; decode fallbacks keep exactness for
     unsupported codecs.  One Ray task per partition, value-cardinality-
-    sized merges."""
+    sized merges (same result-sized-group contract as
+    ``store_value_counts``)."""
     import ray
 
     from ..codecs import auto
@@ -174,7 +181,8 @@ def store_filtered_group_count(out_dir: str, group_col: str, dnf) -> pd.DataFram
     chunks build the row mask via ``encoded_clause_mask`` (dict/rle
     dictionaries, FoR int streams — decode+compare fallback) and count
     group codes under the mask — the composed skar query pipeline
-    (prune → mask → aggregate) with no value decode on the happy path."""
+    (prune → mask → aggregate) with no value decode on the happy path
+    (same result-sized-group contract as ``store_value_counts``)."""
     import ray
 
     from ..codecs import auto
