@@ -498,6 +498,58 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def label_confusion(sf_dir: str) -> pd.DataFrame:
+    """Label-noise QA: confusion counts between the labeled ``lang``
+    and the stopword-profile prediction — flags mislabeled training
+    docs before they skew a per-language mixture.  Per-batch partial
+    counts (the pre-aggregate pattern), tiny groupby merge."""
+
+    class Confusion:
+        def __init__(self):
+            self.lid = text.LangId()
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            pred = self.lid(batch)
+            out = pd.DataFrame(
+                {
+                    "lang": batch["lang"].to_numpy(),
+                    "lang_pred": pred["lang_pred"].to_numpy(),
+                    "n": 1,
+                }
+            )
+            return out.groupby(["lang", "lang_pred"], as_index=False).sum()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype="object"),
+                    "lang_pred": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "lang_pred": [g["lang_pred"].iloc[0]],
+                "n": [int(g["n"].sum())],
+            }
+        )
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(Confusion, batch_format="pandas", concurrency=pool_size())
+        .groupby(["lang", "lang_pred"])
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["lang", "lang_pred"])
+        .reset_index(drop=True)
+        .astype({"n": "int64"})
+    )
+
+
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
     out = dedup.exact_dedup(_docs(sf_dir)).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -1165,6 +1217,22 @@ _DECON_SQL = (
     "GROUP BY k.doc_id"
 )
 
+# language-ID derivation CTEs (see the lang_id entry's comment)
+_LANG_ID_CTES = (
+    "WITH toks AS ("
+    " SELECT doc_id, lower(tok) AS tok FROM ("
+    "  SELECT doc_id, unnest(list_slice("
+    "   regexp_extract_all(text, '[A-Za-zäöüéèáíóúñ]+'), 1, 200)) AS tok"
+    "  FROM documents)),"
+    "profiles(lang, word) AS (VALUES " + _LANG_PROFILE_VALUES + "),"
+    "scores AS (SELECT t.doc_id, p.lang, count(*) AS score"
+    " FROM toks t JOIN profiles p ON t.tok = p.word GROUP BY 1, 2),"
+    "best AS (SELECT doc_id, lang FROM ("
+    " SELECT doc_id, lang, row_number() OVER ("
+    "  PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scores)"
+    " WHERE rn = 1)"
+)
+
 QUERIES: dict[str, tuple] = {
     # (callable, oracle_sql or None)
     "range_filter": (
@@ -1417,26 +1485,22 @@ QUERIES: dict[str, tuple] = {
         "SELECT doc_id, md5(text) AS md5 FROM documents",
     ),
     "fingerprint_rolling": (fingerprint_rolling, _rolling_fp_sql()),
-    "lang_id": (
-        lang_id,
-        # the stopword-profile heuristic, reproduced from scratch in SQL:
-        # same token regex, same first-200 slice, duplicate-counting
-        # membership scores, ties broken by lang name ascending (Python
-        # max over sorted keys), zero matches / zero tokens -> unknown
-        "WITH toks AS ("
-        " SELECT doc_id, lower(tok) AS tok FROM ("
-        "  SELECT doc_id, unnest(list_slice("
-        "   regexp_extract_all(text, '[A-Za-z\u00e4\u00f6\u00fc\u00e9\u00e8\u00e1\u00ed\u00f3\u00fa\u00f1]+'), 1, 200)) AS tok"
-        "  FROM documents)),"
-        "profiles(lang, word) AS (VALUES " + _LANG_PROFILE_VALUES + "),"
-        "scores AS (SELECT t.doc_id, p.lang, count(*) AS score"
-        " FROM toks t JOIN profiles p ON t.tok = p.word GROUP BY 1, 2),"
-        "best AS (SELECT doc_id, lang FROM ("
-        " SELECT doc_id, lang, row_number() OVER ("
-        "  PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scores)"
-        " WHERE rn = 1) "
-        "SELECT d.doc_id, COALESCE(b.lang, 'unknown') AS lang_pred "
-        "FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id",
+    # the stopword-profile heuristic, reproduced from scratch in SQL:
+    # same token regex, same first-200 slice, duplicate-counting
+    # membership scores, ties broken by lang name ascending (Python
+    # max over sorted keys), zero matches / zero tokens -> unknown.
+    # Shared by lang_id (per-doc prediction) and label_confusion
+    # (label-vs-prediction confusion counts).
+    "lang_id": (lang_id, _LANG_ID_CTES + " "
+                "SELECT d.doc_id, COALESCE(b.lang, 'unknown') AS lang_pred "
+                "FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id"),
+    "label_confusion": (
+        label_confusion,
+        _LANG_ID_CTES + ", "
+        "pred AS (SELECT d.lang, COALESCE(b.lang, 'unknown') AS lang_pred"
+        " FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id) "
+        "SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n "
+        "FROM pred GROUP BY lang, lang_pred",
     ),
     # dedup suite
     "stratified_sample": (
