@@ -580,6 +580,60 @@ def stratified_sample(sf_dir: str, per_group: int = 20) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
 
 
+_MIX_WEIGHTS = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+_MIX_TOTAL = 200
+
+
+def mix_sample(sf_dir: str) -> pd.DataFrame:
+    """Domain mixing: build a training mixture hitting target
+    per-language proportions — each language contributes its
+    ``weight/100 × total`` docs, chosen as the smallest md5(doc_id)
+    ranks (the same seedless deterministic ranking as
+    stratified_sample, so any engine reproduces the mixture exactly).
+    Languages absent from the weights contribute nothing; a language
+    with fewer docs than its target contributes all of them.
+    Per-batch top-k partials → per-group merge; only candidates move."""
+
+    targets = {
+        lang: (w * _MIX_TOTAL) // 100 for lang, w in _MIX_WEIGHTS.items()
+    }
+    tref = ray.put(targets)
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(tref)
+        b = batch[batch["lang"].isin(list(t))][["doc_id", "lang"]].copy()
+        if not len(b):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "lang": pd.Series([], dtype="object"),
+                 "rk": pd.Series([], dtype="object")}
+            )
+        b["rk"] = b["doc_id"].map(lambda i: hashlib.md5(str(int(i)).encode()).hexdigest())
+        return (
+            b.sort_values("rk")
+            .groupby("lang", as_index=False, group_keys=False)
+            .apply(lambda g: g.head(t[g["lang"].iloc[0]]))
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "lang": pd.Series([], dtype="object")}
+            )
+        k = ray.get(tref)[g["lang"].iloc[0]]
+        return g.sort_values("rk").head(k)[["doc_id", "lang"]]
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(partials, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
 def clean_text(sf_dir: str) -> pd.DataFrame:
     """Text normalization: collapse ASCII whitespace runs to single
     spaces and trim — the classic pre-tokenization cleanup, written to
@@ -1509,6 +1563,18 @@ QUERIES: dict[str, tuple] = {
         "  SELECT doc_id, lang, row_number() OVER ("
         "    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn"
         "  FROM documents) WHERE rn <= 20",
+    ),
+    "mix_sample": (
+        mix_sample,
+        # one source of truth: targets derived from the same weights
+        "WITH w(lang, k) AS (VALUES "
+        + ", ".join(
+            f"('{lang}', {(wt * _MIX_TOTAL) // 100})" for lang, wt in _MIX_WEIGHTS.items()
+        )
+        + "), r AS (SELECT doc_id, lang, row_number() OVER ("
+        "  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn"
+        " FROM documents) "
+        "SELECT doc_id, lang FROM r JOIN w USING (lang) WHERE rn <= k",
     ),
     "clean_text": (
         clean_text,
