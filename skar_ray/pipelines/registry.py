@@ -205,6 +205,14 @@ def store_group_bytes_corpus(sf_dir: str) -> pd.DataFrame:
     return store_group_bytes(out, "lang", "content").rename(columns={"value": "lang"})
 
 
+def store_group_pair_count_corpus(sf_dir: str) -> pd.DataFrame:
+    """Composite GROUP BY (lang, repo) on the encoded store — both key
+    columns stay as code streams (stats.store_group_pair_count)."""
+    from .stats import store_group_pair_count
+
+    return store_group_pair_count(_corpus_store(sf_dir), "lang", "repo")
+
+
 def store_filtered_group_count_corpus(sf_dir: str) -> pd.DataFrame:
     """WHERE path LIKE 'src/%' AND lang IN (...) GROUP BY repo, with
     chunk pruning, the DNF mask AND the grouped count all evaluated on
@@ -1503,6 +1511,11 @@ QUERIES: dict[str, tuple] = {
         f"SELECT lang, CAST(count(*) AS BIGINT) AS n, "
         f"CAST(sum(strlen(content)) AS BIGINT) AS total_bytes "
         f"FROM '{_CORPUS_GLOB_20K}' GROUP BY lang",
+    ),
+    "store_group_pair_count": (
+        store_group_pair_count_corpus,
+        f"SELECT lang, repo, CAST(count(*) AS BIGINT) AS n "
+        f"FROM '{_CORPUS_GLOB_20K}' GROUP BY lang, repo",
     ),
     "store_filtered_group_count": (
         store_filtered_group_count_corpus,

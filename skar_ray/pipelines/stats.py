@@ -174,6 +174,74 @@ def store_group_bytes(out_dir: str, group_col: str, value_col: str) -> pd.DataFr
     )
 
 
+def store_group_pair_count(out_dir: str, col_a: str, col_b: str) -> pd.DataFrame:
+    """Composite GROUP BY (``col_a``, ``col_b``) → COUNT(*) on the
+    encoded form: both key columns stay as their dict/rle code streams,
+    combined per chunk as ``code_a · |dict_b| + code_b`` and bincounted
+    — neither value column decodes (same result-sized-group contract
+    as ``store_value_counts``; decode+factorize fallback per column)."""
+    import ray
+
+    from ..codecs import auto
+    from ..state import container
+
+    ms = manifest_mod.scan_manifests(out_dir)
+
+    @ray.remote
+    def part_counts(path: str) -> dict:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        header, blob_start = container.read_header(path)
+        agg: dict = {}
+        with open(path, "rb") as f:
+
+            def blob_of(cm):
+                f.seek(blob_start + cm["offset"])
+                return f.read(cm["length"])
+
+            def codes_of(cm):
+                gc = container.encoded_group_codes(blob_of(cm), cm)
+                if gc is not None:
+                    return gc
+                arr = auto.decode_column(
+                    blob_of(cm), cm["meta"], cm["page"], cm["payload_len"]
+                )
+                enc = pc.dictionary_encode(arr)
+                return np.asarray(enc.indices).astype(np.int64), enc.dictionary
+
+            for ch in header["chunks"]:
+                metas = {cm["name"]: cm for cm in ch["columns"]}
+                ca, da = codes_of(metas[col_a])
+                cb, db = codes_of(metas[col_b])
+                kb = len(db)
+                counts = np.bincount(ca * kb + cb, minlength=len(da) * kb)
+                hit = np.flatnonzero(counts)
+                va = da.to_pylist()
+                vb = db.to_pylist()
+                for i in hit.tolist():
+                    key = (va[i // kb], vb[i % kb])
+                    agg[key] = agg.get(key, 0) + int(counts[i])
+        return agg
+
+    refs = [
+        part_counts.remote(os.path.join(out_dir, m.data_file))
+        for _, m in sorted(ms.items())
+    ]
+    total: dict = {}
+    for agg in ray.get(refs):
+        for k, c in agg.items():
+            total[k] = total.get(k, 0) + c
+    out = pd.DataFrame(
+        {
+            col_a: [a for a, _ in total.keys()],
+            col_b: [b for _, b in total.keys()],
+            "n": list(total.values()),
+        }
+    )
+    return out.sort_values([col_a, col_b]).reset_index(drop=True).astype({"n": "int64"})
+
+
 def store_filtered_group_count(out_dir: str, group_col: str, dnf) -> pd.DataFrame:
     """WHERE <dnf> GROUP BY ``group_col`` → COUNT(*) with BOTH the
     filter and the aggregation evaluated on the encoded form: chunks
