@@ -38,3 +38,17 @@ def read_skarc(
     from ..pipelines.query_encoded import query_encoded
 
     return query_encoded(out_dir, columns=columns, filters=filters, concurrency=concurrency)
+
+
+def read_arrow_ipc(path: str) -> "ray.data.Dataset":
+    """Read back an Arrow IPC file written by ``sinks.write_arrow_ipc``
+    — the reference's /query/arrow-ipc response body (server.rs:133-166)
+    as a first-class source, completing the sink/source round trip.
+    IPC files are small/aggregate results by contract, so a single
+    driver-side open is the right shape (zstd buffer decompression is
+    handled by Arrow)."""
+    import pyarrow.ipc as ipc
+
+    with ipc.open_file(path) as r:
+        table = r.read_all()
+    return ray.data.from_arrow(table)

@@ -79,3 +79,16 @@ def test_write_json_hex_sink(ray_session, tmp_path):
                     rows.append(js.loads(line))
     rows.sort(key=lambda r: r["id"])
     assert rows == [{"id": 1, "payload": "0x00ff"}, {"id": 2, "payload": "0xab"}]
+
+
+def test_read_arrow_ipc_source_roundtrip(ray_session, tmp_path):
+    """sink -> source round trip through the engine's own reader."""
+    from skar_ray.sources.readers import read_arrow_ipc
+
+    t = pa.table({"x": [1, 2, 3], "s": ["a", "b", None]})
+    p = str(tmp_path / "resp.arrow")
+    write_arrow_ipc(t, p)
+    ds = read_arrow_ipc(p)
+    back = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    assert back.column("x").to_pylist() == [1, 2, 3]
+    assert back.column("s").to_pylist() == ["a", "b", None]
