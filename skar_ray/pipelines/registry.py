@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray.data
 
 from ..stages import ann, dedup, joins, multimodal, text, training, windows
+from . import ann_index
 from . import queries as Q
 from ..runtime import pool_size
 
@@ -947,20 +948,37 @@ def ann_bruteforce(sf_dir: str) -> pa.Table:
     return res.select(["query_id", "vec_id"])
 
 
-def ann_ivf(sf_dir: str) -> pa.Table:
+def _ivf_index_for(sf_dir: str, n_lists: int = 8, seed: int = 42) -> str:
+    """Build-once cache of the persisted IVF index for a testdata dir.
+    ``build_ivf_index`` is resume-guarded (meta written last, row-count
+    checked), so repeat calls are metadata-only no-ops."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return ann.ivf_topk(ds, _query_vectors(sf_dir), k=10, n_lists=8, nprobe=4).select(
+    n = ds.count()
+    idx = f"/tmp/skar_ray_ivf/{os.path.basename(os.path.normpath(sf_dir))}-n{n}-l{n_lists}-s{seed}"
+    ann_index.build_ivf_index(ds, idx, n_lists=n_lists, seed=seed)
+    return idx
+
+
+def ann_ivf(sf_dir: str) -> pa.Table:
+    """ANN via the PERSISTED list-partitioned index: the index is built
+    once at write time (list-partitioned .skarc containers + manifest);
+    the query decodes only the ``nprobe`` probed lists' partitions —
+    reference's index-at-write/prune-at-query shape
+    (build_parquet_idx.rs:19-199, query/handler.rs:96-185)."""
+    idx = _ivf_index_for(sf_dir)
+    return ann_index.ivf_index_topk(idx, _query_vectors(sf_dir), k=10, nprobe=4).select(
         ["query_id", "vec_id"]
     )
 
 
 def ann_ivf_full(sf_dir: str) -> pa.Table:
     """IVF with every list probed must reduce to EXACT brute-force top-k
-    — a SQL-verified invariant pinning the bucketing/probe plumbing
-    (ann_ivf with nprobe<n_lists is then the approximate mode of a
-    machine proven exact at full probe)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return ann.ivf_topk(ds, _query_vectors(sf_dir), k=10, n_lists=8, nprobe=8).select(
+    — a SQL-verified invariant pinning the persisted index end-to-end
+    (build → encode → manifest → probe → decode → score); ann_ivf with
+    nprobe<n_lists is then the approximate mode of a machine proven
+    exact at full probe."""
+    idx = _ivf_index_for(sf_dir)
+    return ann_index.ivf_index_topk(idx, _query_vectors(sf_dir), k=10, nprobe=8).select(
         ["query_id", "vec_id"]
     )
 

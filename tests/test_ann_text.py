@@ -48,6 +48,83 @@ def test_ivf_recall(emb_ds):
     assert np.mean(recalls) >= 0.6, recalls
 
 
+@pytest.fixture(scope="module")
+def ivf_index_dir(emb_ds, tmp_path_factory):
+    from skar_ray.pipelines import ann_index
+
+    ds, _ = emb_ds
+    idx = str(tmp_path_factory.mktemp("ivf") / "index")
+    ann_index.build_ivf_index(ds, idx, n_lists=8, seed=42)
+    return idx
+
+
+def test_ivf_index_prunes_partitions(emb_ds, ivf_index_dir):
+    """The persisted index must READ only the probed lists' partitions
+    — the index-at-write/prune-at-query invariant (same style as the
+    chunk-pruning assertions in test_query_encoded)."""
+    from skar_ray.pipelines import ann_index
+
+    ds, vecs = emb_ds
+    res, stats = ann_index.ivf_index_topk(
+        ivf_index_dir, vecs[:1], k=10, nprobe=2, return_stats=True
+    )
+    assert stats["partitions_total"] == 8
+    assert stats["partitions_read"] == 2  # exactly the probed lists
+    assert len(res) == 10
+
+
+def test_ivf_index_matches_in_memory_ivf(emb_ds, ivf_index_dir):
+    """Persisted-index query == the in-memory ivf_topk: same centroids
+    (same deterministic training), same assignment, and the encoded
+    embedding column round-trips exactly.  IDs must match exactly;
+    cosines only to ~ulp (BLAS picks different matvec kernels for the
+    two paths' differently-shaped matrices)."""
+    from skar_ray.pipelines import ann_index
+    from skar_ray.stages import ann as ann_mod
+
+    ds, vecs = emb_ds
+    q = vecs[:3]
+    got = ann_index.ivf_index_topk(ivf_index_dir, q, k=10, nprobe=4).to_pandas()
+    want = ann_mod.ivf_topk(ds, q, k=10, n_lists=8, nprobe=4).to_pandas()
+    assert got[["query_id", "vec_id"]].values.tolist() == want[["query_id", "vec_id"]].values.tolist()
+    assert np.allclose(got["cosine"], want["cosine"], rtol=0, atol=1e-12)
+
+
+def test_ivf_index_full_probe_is_exact(emb_ds, ivf_index_dir):
+    """nprobe == n_lists through the persisted index reduces to exact
+    brute force — end-to-end proof of build → encode → probe → decode."""
+    from skar_ray.pipelines import ann_index
+
+    ds, vecs = emb_ds
+    q = vecs[:3]
+    res = ann_index.ivf_index_topk(ivf_index_dir, q, k=10, nprobe=8).to_pandas()
+    want = _exact_topk(vecs, q, 10)
+    for qi in range(3):
+        assert set(res[res.query_id == qi]["vec_id"]) == want[qi]
+
+
+def test_ivf_index_build_resumes(emb_ds, ivf_index_dir):
+    """A completed build is a no-op on re-run (meta written last)."""
+    import os
+
+    from skar_ray.pipelines import ann_index
+
+    ds, _ = emb_ds
+    before = {
+        f: os.path.getmtime(os.path.join(ivf_index_dir, f))
+        for f in os.listdir(ivf_index_dir)
+        if f.endswith(".skarc")
+    }
+    meta = ann_index.build_ivf_index(ds, ivf_index_dir, n_lists=8, seed=42)
+    after = {
+        f: os.path.getmtime(os.path.join(ivf_index_dir, f))
+        for f in os.listdir(ivf_index_dir)
+        if f.endswith(".skarc")
+    }
+    assert before == after  # nothing re-encoded
+    assert meta["n_lists"] == 8 and meta["n_rows"] == 300
+
+
 def test_token_counter_matches_duckdb(ray_session):
     import duckdb
     import ray.data
