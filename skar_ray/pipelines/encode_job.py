@@ -90,6 +90,85 @@ def _corpus_fingerprint(corpus_path: str) -> str:
     return h.hexdigest()[:16]
 
 
+def _input_paths(corpus_path: str) -> list[str]:
+    return (
+        [os.path.join(corpus_path, f) for f in sorted(os.listdir(corpus_path)) if f.endswith(".parquet")]
+        if os.path.isdir(corpus_path)
+        else [corpus_path]
+    )
+
+
+def _pkey_fingerprints(corpus_path: str, plan, plan_hash: str,
+                       target_partition_bytes: int) -> dict[int, str]:
+    """Per-PARTITION input fingerprints — the rollback/reorg detector.
+
+    The plan-level fingerprint alone cannot see a content mutation that
+    leaves per-repo row counts unchanged (identical plan → identical
+    hash → every stale partition resume-skipped).  The reference
+    detects reorgs per block range and re-encodes only affected folders
+    (/root/reference/skar/src/skar_runner.rs:107-158); our analog keys
+    each pkey's fingerprint on the (name, size, mtime_ns) of every
+    input FILE containing any repo mapped to that pkey.  Touch one
+    file → exactly the pkeys it feeds re-encode; untouched pkeys keep
+    matching manifests and are skipped.
+
+    Cost: one stat per file plus, on first sight of a (path,size,mtime)
+    triple, one repo-column-only read (tiny, dictionary-encoded) cached
+    as a sidecar JSON — the same metadata pre-pass the hash exchange
+    already runs, made file-granular and persistent.
+    """
+    import hashlib
+
+    import ray as _ray
+
+    paths = _input_paths(corpus_path)
+    cache_dir = "/tmp/skar_ray_plans/file_repos"
+    os.makedirs(cache_dir, exist_ok=True)
+
+    stats: dict[str, str] = {}
+    cached: dict[str, list[str]] = {}
+    misses: list[str] = []
+    for p in paths:
+        st = os.stat(p)
+        stats[p] = f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}"
+        key = hashlib.sha256(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:24]
+        cf = os.path.join(cache_dir, key + ".json")
+        if os.path.exists(cf):
+            with open(cf) as f:
+                cached[p] = json.load(f)
+        else:
+            misses.append((p, cf))
+
+    if misses:
+        @_ray.remote
+        def _repos_of_file(path: str) -> list[str]:
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(path).to_table(columns=["repo"])
+            return sorted(set(pc.unique(t.column("repo")).to_pylist()))
+
+        got = _ray.get([_repos_of_file.remote(p) for p, _ in misses])
+        for (p, cf), repos in zip(misses, got):
+            cached[p] = repos
+            tmp = cf + f".tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(repos, f)
+            os.replace(tmp, cf)
+
+    pkey_files: dict[int, set[str]] = {}
+    for p in paths:
+        for r in cached[p]:
+            s, nb = plan.repos.get(r, (0, 1))  # mirror assign_pkeys' default
+            for pk in range(s, s + nb):
+                pkey_files.setdefault(pk, set()).add(stats[p])
+    base = f"{corpus_path}:{target_partition_bytes}:{plan_hash}"
+    return {
+        pk: base + ":" + hashlib.sha256(";".join(sorted(fs)).encode()).hexdigest()[:16]
+        for pk, fs in pkey_files.items()
+    }
+
+
 def _cached_plan(corpus_path: str, target_partition_bytes: int | None):
     """Partition plans are deterministic functions of (corpus, target);
     cache them on disk so reruns/resumes skip the size pre-pass — the
@@ -197,13 +276,15 @@ def run_encode_job(
         import hashlib as _hl
 
         plan_hash = _hl.sha256(repr(sorted(plan.repos.items())).encode()).hexdigest()[:16]
-        input_fingerprint = f"{corpus_path}:{target_partition_bytes}:{plan_hash}"
+        pkey_fp = _pkey_fingerprints(corpus_path, plan, plan_hash, target_partition_bytes)
         done = manifest_mod.scan_manifests(out_dir) if resume else {}
-        done = {p: m for p, m in done.items() if m.input_fingerprint == input_fingerprint}
+        # per-pkey fingerprints: a mutated input file invalidates exactly
+        # the partitions it feeds (see _pkey_fingerprints)
+        done = {p: m for p, m in done.items() if m.input_fingerprint == pkey_fp.get(p)}
         from .hash_exchange import run_hashed_encode
 
         summary = run_hashed_encode(
-            corpus_path, out_dir, plan, chunk_target_bytes, input_fingerprint,
+            corpus_path, out_dir, plan, chunk_target_bytes, pkey_fp,
             skip_pkeys=frozenset(done.keys()), codec_overrides=codec_overrides,
             validate=validate,
         )
@@ -236,9 +317,11 @@ def run_encode_job(
         plan_hash = hashlib.sha256(
             repr(sorted(plan.repos.items())).encode()
         ).hexdigest()[:16]
-        input_fingerprint = f"{corpus_path}:{target_partition_bytes}:{plan_hash}"
+        pkey_fp = _pkey_fingerprints(corpus_path, plan, plan_hash, target_partition_bytes)
         done = manifest_mod.scan_manifests(out_dir) if resume else {}
-        done = {p: m for p, m in done.items() if m.input_fingerprint == input_fingerprint}
+        # per-pkey fingerprints: a mutated input file invalidates exactly
+        # the partitions it feeds (see _pkey_fingerprints)
+        done = {p: m for p, m in done.items() if m.input_fingerprint == pkey_fp.get(p)}
         keyed = ds.map_batches(
             lambda b: partitioner.assign_pkeys(b, plan), batch_format="pyarrow"
         )
@@ -254,8 +337,9 @@ def run_encode_job(
             )
         enc = keyed.groupby("pkey").map_groups(
             lambda g: encode_partition(
-                g, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides,
-                validate=validate,
+                g, out_dir, chunk_target_bytes,
+                pkey_fp.get(int(g.column("pkey")[0].as_py()), "") if g.num_rows else "",
+                codec_overrides, validate=validate,
             ),
             batch_format="pyarrow",
         )

@@ -76,11 +76,12 @@ def _map_split(paths: list[str], plan: "partitioner.PartitionPlan",
 
 @ray.remote
 def _reduce_encode(pkey: int, refs: list["ray.ObjectRef"], out_dir: str,
-                   chunk_target_bytes: int, input_fingerprint: str,
+                   chunk_target_bytes: int, input_fingerprint: "str | dict[int, str]",
                    codec_overrides: dict | None, validate: bool = True) -> dict:
     tables = ray.get(list(refs))
     t = pa.concat_tables(tables).combine_chunks() if len(tables) > 1 else tables[0]
-    summary = encode_partition(t, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides,
+    fp = input_fingerprint.get(pkey, "") if isinstance(input_fingerprint, dict) else input_fingerprint
+    summary = encode_partition(t, out_dir, chunk_target_bytes, fp, codec_overrides,
                                validate=validate)
     return {k: summary.column(k)[0].as_py() for k in summary.column_names}
 
@@ -90,7 +91,7 @@ def run_hashed_encode(
     out_dir: str,
     plan: "partitioner.PartitionPlan",
     chunk_target_bytes: int,
-    input_fingerprint: str,
+    input_fingerprint: "str | dict[int, str]",
     skip_pkeys: frozenset[int] = frozenset(),
     codec_overrides: dict | None = None,
     files_per_map: int | None = None,

@@ -240,3 +240,71 @@ def test_validate_before_publish_blocks_corrupt_encode(ray_session, tmp_path, mo
     assert glob.glob(os.path.join(out, "*.skarc"))
     m = manifest.read_manifest(out, 7)
     assert "validate" in m.extra["timings"]
+
+
+def test_mutated_input_reencodes_only_affected_partitions(ray_session, tmp_path):
+    """The reorg/rollback analog (reference detects reorged block ranges
+    and re-encodes only affected folders, skar_runner.rs:107-158): after
+    one input file of a multi-file corpus is mutated IN CONTENT ONLY
+    (same row counts, same content lengths → identical partition plan),
+    a resume run must re-encode exactly the partitions fed by that file,
+    skip every other one untouched, and converge to the same store a
+    from-scratch encode of the mutated corpus produces."""
+    import glob
+
+    from skar_ray.corpus import ensure_corpus
+
+    src = ensure_corpus(2000)
+    corpus = str(tmp_path / "corpus.parquet")
+    shutil.copytree(os.path.join(src, "corpus.parquet"), corpus)
+    out = str(tmp_path / "store")
+
+    s1 = run_encode_job(corpus, out, target_partition_bytes=2 << 20,
+                        chunk_target_bytes=1 << 20, mode="hashed")
+    assert s1.num_rows > 2
+
+    # mutate ONE part file: flip one row's content to different bytes of
+    # the SAME length (keeps per-repo row counts and avg row size, hence
+    # the plan and pkey numbering, bit-identical)
+    victim = sorted(glob.glob(os.path.join(corpus, "*.parquet")))[0]
+    t = pq.read_table(victim)
+    col = t.column("content").to_pylist()
+    col[0] = "Z" * len(col[0])
+    idx = t.column_names.index("content")
+    t = t.set_column(idx, "content", pa.array(col, type=pa.large_string()))
+    pq.write_table(t, victim, compression="zstd")
+    mutated_repos = set(pc.unique(t.column("repo")).to_pylist())
+
+    before = {f: os.path.getmtime(os.path.join(out, f))
+              for f in os.listdir(out) if f.endswith(".skarc")}
+    s2 = run_encode_job(corpus, out, target_partition_bytes=2 << 20,
+                        chunk_target_bytes=1 << 20, mode="hashed")
+    redone = s2.filter(pc.invert(pc.field("skipped")))
+    skipped = s2.filter(pc.field("skipped"))
+    assert 0 < redone.num_rows < s2.num_rows, "mutation must re-encode SOME but not ALL"
+
+    # exactly the partitions fed by the mutated file's repos re-encoded
+    from skar_ray.pipelines.encode_job import _cached_plan
+
+    plan, _ = _cached_plan(corpus, 2 << 20)
+    affected = set()
+    for r in mutated_repos:
+        start, nb = plan.repos.get(r, (0, 1))
+        affected.update(range(start, start + nb))
+    assert set(redone.column("partition_id").to_pylist()) == affected
+
+    # untouched partitions' containers were not rewritten
+    after = {f: os.path.getmtime(os.path.join(out, f))
+             for f in os.listdir(out) if f.endswith(".skarc")}
+    for pid in skipped.column("partition_id").to_pylist():
+        name = f"part-{pid:06d}.skarc"
+        assert before[name] == after[name], name
+
+    # resumed store == from-scratch encode of the mutated corpus
+    out2 = str(tmp_path / "scratch")
+    s3 = run_encode_job(corpus, out2, target_partition_bytes=2 << 20,
+                        chunk_target_bytes=1 << 20, mode="hashed", resume=False)
+    assert sorted(s2.column("content_sha256").to_pylist()) == \
+        sorted(s3.column("content_sha256").to_pylist())
+    v = run_verify_job(corpus, out)
+    assert v["rows_match"] and v["digests_verified"]
