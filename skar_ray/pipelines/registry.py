@@ -841,6 +841,15 @@ def lm_commonness(sf_dir: str) -> pd.DataFrame:
     return training.unigram_commonness(_docs(sf_dir))
 
 
+def lm_commonness_topk(sf_dir: str) -> pd.DataFrame:
+    """The 100 TB operating mode of lm_commonness: the model is capped
+    to the K most frequent tokens (count desc, token asc tie-break) via
+    a distributed partial top-K — the broadcast AND the driver never
+    hold the full vocab.  K=12 is well below the sf0.01 vocab size
+    (31 tokens), so the oracle genuinely exercises the cap."""
+    return training.unigram_commonness(_docs(sf_dir), top_k=12)
+
+
 def cluster_kmeans(sf_dir: str) -> pd.DataFrame:
     """Integer-exact 2-iteration Lloyd k-means over the embeddings table
     (broadcast centroids + k×d mergeable partial sums)."""
@@ -1702,6 +1711,24 @@ QUERIES: dict[str, tuple] = {
         r" CAST(COALESCE(p.fs, 0) AS DOUBLE) /"
         r" CASE WHEN COALESCE(p.n, 0) = 0 THEN 1 ELSE p.n END AS commonness "
         r"FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id",
+    ),
+    "lm_commonness_topk": (
+        lm_commonness_topk,
+        # same model re-trained in SQL, capped to the top-12 tokens with
+        # the identical deterministic tie-break (count DESC, token ASC);
+        # n_tokens still counts ALL tokens — only freq_sum is capped
+        r"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok"
+        r" FROM documents),"
+        r"freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),"
+        r"kept AS (SELECT tok, c FROM freq ORDER BY c DESC, tok ASC LIMIT 12),"
+        r"nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),"
+        r"per AS (SELECT t.doc_id, CAST(sum(f.c) AS BIGINT) AS fs"
+        r" FROM toks t JOIN kept f USING (tok) GROUP BY t.doc_id) "
+        r"SELECT d.doc_id, COALESCE(nt.n, 0) AS n_tokens, COALESCE(per.fs, 0) AS freq_sum,"
+        r" CAST(COALESCE(per.fs, 0) AS DOUBLE) /"
+        r" CASE WHEN COALESCE(nt.n, 0) = 0 THEN 1 ELSE nt.n END AS commonness "
+        r"FROM documents d LEFT JOIN nt ON d.doc_id = nt.doc_id"
+        r" LEFT JOIN per ON d.doc_id = per.doc_id",
     ),
     "cluster_kmeans": (
         cluster_kmeans,

@@ -130,7 +130,8 @@ def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
     return pa.Table.from_pandas(out.astype({"query_id": "int64", "vec_id": "int64", "cosine": "float64"}))
 
 
-def brute_force_pairs(ds: "ray.data.Dataset", threshold: float = 0.4) -> pa.Table:
+def brute_force_pairs(ds: "ray.data.Dataset", threshold: float = 0.4,
+                      max_rows: int = 1_000_000) -> pa.Table:
     """Exact all-pairs cosine >= threshold — the verification baseline
     for the sub-quadratic LSH path (embedding_dup_pairs).  Returns id
     pairs only: float score identity across engines is ulp-fragile, so
@@ -139,9 +140,20 @@ def brute_force_pairs(ds: "ray.data.Dataset", threshold: float = 0.4) -> pa.Tabl
     Shape: one side of the self-join is broadcast as a unit matrix
     (``ray.put`` once, fetched once per actor); each batch computes its
     block-row of the similarity matrix vectorized.  The broadcast side
-    must fit the object store — beyond that, split it into column
-    strips (blocked two-sided matmul) or use the LSH path.
+    must fit the object store — ``max_rows`` guards that LOUDLY
+    (the semi-join ``max_keys`` pattern, query_encoded.py): past the
+    cap this baseline is the wrong tool and the call fails instead of
+    broadcasting a corpus — use the LSH path (embedding_dup_pairs) or
+    split the broadcast into column strips.
     """
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"brute_force_pairs is the O(n²) verification baseline: input has "
+            f"{n} rows (> max_rows={max_rows}); use the LSH path "
+            "(dedup.embedding_dup_pairs) at this scale, or raise max_rows "
+            "explicitly if you really mean it"
+        )
     full = ds.select_columns(["vec_id", "embedding"]).to_pandas()
     ids_all = full["vec_id"].to_numpy(dtype=np.int64)
     m_all = _unit(np.stack(full["embedding"].to_numpy()).astype(np.float64))

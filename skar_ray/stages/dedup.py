@@ -54,6 +54,58 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def _gather_segments(offs: np.ndarray, flat: np.ndarray, idx: np.ndarray):
+    """Vectorized gather of variable-length segments ``flat[offs[i]:
+    offs[i+1]]`` for each i in ``idx`` → (values, lens), no Python loop."""
+    starts = offs[idx]
+    lens = (offs[idx + 1] - starts).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype), lens
+    cum = np.cumsum(lens) - lens
+    pos = np.arange(total, dtype=np.int64) - np.repeat(cum, lens) + np.repeat(starts, lens)
+    return flat[pos], lens
+
+
+def _pairwise_jaccard(flat_a: np.ndarray, lens_a: np.ndarray,
+                      flat_b: np.ndarray, lens_b: np.ndarray) -> np.ndarray:
+    """Jaccard for n pairs of uint64 SETS at once (each side's per-pair
+    values already distinct — _hash_shingles returns np.unique output).
+    One lexsort over the tagged concatenation of both sides; adjacent
+    equal (pair, value) rows are exactly the intersections.  Equal to
+    calling ``jaccard`` per pair (pinned by test), with zero per-pair
+    Python."""
+    n = len(lens_a)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    pair = np.concatenate([np.repeat(np.arange(n), lens_a), np.repeat(np.arange(n), lens_b)])
+    vals = np.concatenate([flat_a, flat_b])
+    order = np.lexsort((vals, pair))
+    p, v = pair[order], vals[order]
+    dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+    inter = np.bincount(p[1:][dup], minlength=n)
+    union = lens_a + lens_b - inter
+    return np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+
+
+def _flat_u64_segments(bufs) -> tuple[np.ndarray, np.ndarray]:
+    """bytes-per-row → (offsets[int64, n+1] in u64 units, flat uint64)."""
+    lens = np.fromiter((len(x) // 8 for x in bufs), dtype=np.int64, count=len(bufs))
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint64)
+    return offs, flat
+
+
+def _lookup_sorted(ids_sorted: np.ndarray, keys: np.ndarray):
+    """searchsorted membership probe: positions + found mask."""
+    n = len(ids_sorted)
+    pos = np.searchsorted(ids_sorted, keys)
+    safe = np.minimum(pos, max(n - 1, 0))
+    found = (pos < n) & (ids_sorted[safe] == keys) if n else np.zeros(len(keys), dtype=bool)
+    return pos, found
+
+
 # ------------------------------------------------- shared pair machinery
 
 from .groups import bucketed_group_apply  # noqa: E402  (shared two-level exchange)
@@ -167,23 +219,28 @@ def _pairs_with_feature(
         n_ids is None and n_pairs <= _BROADCAST_PAIR_LIMIT
     ):
         fdf = feats.to_pandas()  # pair-involved features only (bounded)
-        fmap_ref = ray.put(dict(zip(fdf.iloc[:, 0].astype("int64"), fdf.iloc[:, 1])))
+        fids = fdf.iloc[:, 0].to_numpy(dtype=np.int64)
+        order = np.argsort(fids)
+        farr = pa.array(fdf.iloc[:, 1].to_numpy()[order], type=pa.large_binary())
+        fmap_ref = ray.put((fids[order], farr))
 
         class Attach:
             def __init__(self, ref):
-                self.f = ray.get(ref)  # fetched once per actor
+                self.ids, self.farr = ray.get(ref)  # fetched once per actor
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                ia, ib, fa, fb = [], [], [], []
-                for x, y in zip(t.column(a).to_pylist(), t.column(b).to_pylist()):
-                    vx, vy = self.f.get(int(x)), self.f.get(int(y))
-                    if vx is None or vy is None:
-                        continue  # inner-join semantics
-                    ia.append(x); ib.append(y); fa.append(vx); fb.append(vy)
+                # vectorized id→feature attach: searchsorted probe +
+                # Arrow take on the sorted binary array (no row loop)
+                xa = t.column(a).to_numpy(zero_copy_only=False).astype(np.int64)
+                xb = t.column(b).to_numpy(zero_copy_only=False).astype(np.int64)
+                pos_a, ok_a = _lookup_sorted(self.ids, xa)
+                pos_b, ok_b = _lookup_sorted(self.ids, xb)
+                ok = ok_a & ok_b  # inner-join semantics
                 return pa.table({
-                    a: pa.array(ia, type=pa.int64()), b: pa.array(ib, type=pa.int64()),
-                    "f_a": pa.array(fa, type=pa.large_binary()),
-                    "f_b": pa.array(fb, type=pa.large_binary()),
+                    a: pa.array(xa[ok], type=pa.int64()),
+                    b: pa.array(xb[ok], type=pa.int64()),
+                    "f_a": self.farr.take(pa.array(pos_a[ok], type=pa.int64())),
+                    "f_b": self.farr.take(pa.array(pos_b[ok], type=pa.int64())),
                 })
 
         return pairs.map_batches(
@@ -378,36 +435,43 @@ def _verify_jaccard_pairs(
         # broadcast path: ship the involved-id shingle map once and do
         # attach + jaccard + threshold in ONE task-pool stage
         fdf = feats.to_pandas()  # pair-involved features only (bounded)
-        fmap_ref = ray.put(dict(zip(fdf["doc_id"].astype("int64"), fdf["sh"])))
+        fids = fdf["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(fids)
+        offs, flat = _flat_u64_segments(fdf["sh"].to_numpy()[order])
+        fmap_ref = ray.put((fids[order], offs, flat))
 
         def attach_verify(t: pa.Table) -> pa.Table:
-            f = _cached_get(fmap_ref)
-            out_a, out_b, out_j = [], [], []
-            for a_, b_ in zip(t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist()):
-                fa, fb = f.get(int(a_)), f.get(int(b_))
-                if fa is None or fb is None:
-                    continue  # inner-join semantics
-                j = jaccard(np.frombuffer(fa, dtype=np.uint64), np.frombuffer(fb, dtype=np.uint64))
-                if j >= threshold:
-                    out_a.append(a_); out_b.append(b_); out_j.append(j)
-            return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
-                             "doc_b": pa.array(out_b, type=pa.int64()),
-                             "jaccard": pa.array(out_j, type=pa.float64())})
+            # fully vectorized: searchsorted attach + one lexsort-based
+            # batched jaccard over every candidate pair — no per-pair
+            # Python (was the last row loop in the dedup hot tail)
+            ids_s, offs_, flat_ = _cached_get(fmap_ref)
+            xa = np.asarray(t.column("doc_a"), dtype=np.int64)
+            xb = np.asarray(t.column("doc_b"), dtype=np.int64)
+            pos_a, ok_a = _lookup_sorted(ids_s, xa)
+            pos_b, ok_b = _lookup_sorted(ids_s, xb)
+            ok = ok_a & ok_b  # inner-join semantics
+            xa, xb = xa[ok], xb[ok]
+            flat_a, lens_a = _gather_segments(offs_, flat_, pos_a[ok])
+            flat_b, lens_b = _gather_segments(offs_, flat_, pos_b[ok])
+            j = _pairwise_jaccard(flat_a, lens_a, flat_b, lens_b)
+            keep = j >= threshold
+            return pa.table({"doc_a": pa.array(xa[keep], type=pa.int64()),
+                             "doc_b": pa.array(xb[keep], type=pa.int64()),
+                             "jaccard": pa.array(j[keep], type=pa.float64())})
 
         res = cand_ds.map_batches(attach_verify, batch_format="pyarrow").to_pandas()
     else:
         joined = _pairs_with_feature(cand_ds, feats, n_pairs=n_pairs, n_ids=len(need_ids))
 
         def verify_batch(t: pa.Table) -> pa.Table:
-            out_a, out_b, out_j = [], [], []
-            for a_, b_, fa, fb in zip(t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist(),
-                                      t.column("f_a").to_pylist(), t.column("f_b").to_pylist()):
-                j = jaccard(np.frombuffer(fa, dtype=np.uint64), np.frombuffer(fb, dtype=np.uint64))
-                if j >= threshold:
-                    out_a.append(a_); out_b.append(b_); out_j.append(j)
-            return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
-                             "doc_b": pa.array(out_b, type=pa.int64()),
-                             "jaccard": pa.array(out_j, type=pa.float64())})
+            offs_a, flat_a = _flat_u64_segments(t.column("f_a").to_pylist())
+            offs_b, flat_b = _flat_u64_segments(t.column("f_b").to_pylist())
+            j = _pairwise_jaccard(flat_a, np.diff(offs_a), flat_b, np.diff(offs_b))
+            keep = j >= threshold
+            out = pa.table({"doc_a": t.column("doc_a").combine_chunks(),
+                            "doc_b": t.column("doc_b").combine_chunks(),
+                            "jaccard": pa.array(j, type=pa.float64())})
+            return out.filter(pa.array(keep))
 
         res = joined.map_batches(verify_batch, batch_format="pyarrow").to_pandas()
     if len(res) == 0:

@@ -201,7 +201,7 @@ def split_assign(ds: "ray.data.Dataset") -> pd.DataFrame:
 # ------------------------------------------------------ unigram LM
 
 
-def unigram_commonness(ds: "ray.data.Dataset") -> pd.DataFrame:
+def unigram_commonness(ds: "ray.data.Dataset", top_k: int | None = None) -> pd.DataFrame:
     """Unigram language-model scoring: train token frequencies over the
     corpus, then score each document by the summed corpus frequency of
     its tokens (integer-exact; ``commonness`` = freq_sum / n_tokens is
@@ -211,7 +211,16 @@ def unigram_commonness(ds: "ray.data.Dataset") -> pd.DataFrame:
 
     The trained vocab is the broadcast model (decontaminate's
     broadcast-set shape, /root/reference/skar/src/query/execution/
-    mod.rs:183-185); probing is a vectorised explode + dict map."""
+    mod.rs:183-185); probing is a vectorised explode + dict map.
+
+    ``top_k`` caps the model to the K most frequent tokens (ties broken
+    by token text ascending — deterministic on both engines); tokens
+    outside the kept vocab score 0.  This is the 100 TB operating mode:
+    a web-scale unigram vocab is tens of GB, but the top-K model both
+    bounds the broadcast AND bounds driver memory — the cap is applied
+    as a per-block partial top-K on the distributed vocab (valid
+    because the bucketed exchange emits each token exactly once), so
+    the driver sees ≤ top_k × n_blocks rows, never the full vocab."""
     pat = _TOKEN_RE
 
     def vocab_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -230,7 +239,15 @@ def unigram_commonness(ds: "ray.data.Dataset") -> pd.DataFrame:
     # is the broadcast model by definition (cap to top-K here at real
     # corpus scale)
     partials = ds.map_batches(vocab_partial, batch_format="pandas")
-    vocab = bucketed_group_apply(partials, ["tok"], sum_group).to_pandas()
+    vocab_ds = bucketed_group_apply(partials, ["tok"], sum_group)
+    if top_k is None:
+        vocab = vocab_ds.to_pandas()
+    else:
+        def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+            return b.sort_values(["c", "tok"], ascending=[False, True]).head(top_k)
+
+        vocab = vocab_ds.map_batches(block_topk, batch_format="pandas").to_pandas()
+        vocab = vocab.sort_values(["c", "tok"], ascending=[False, True]).head(top_k)
     freq = dict(zip(vocab["tok"], vocab["c"].astype(int)))
     ref = ray.put(freq)
 
@@ -244,7 +261,9 @@ def unigram_commonness(ds: "ray.data.Dataset") -> pd.DataFrame:
             ex = toks.explode().dropna()
             fs = pd.Series(0, index=batch.index, dtype="int64")
             if len(ex):
-                mapped = ex.map(self.freq).astype("int64")
+                # total scorer: tokens outside the (possibly capped)
+                # vocab contribute 0 instead of raising
+                mapped = ex.map(self.freq).fillna(0).astype("int64")
                 # reindex keeps the sum in int64 end-to-end (Series.add
                 # with fill_value would round-trip through float64 and
                 # lose exactness past 2^53)

@@ -103,6 +103,14 @@ def test_ivf_index_full_probe_is_exact(emb_ds, ivf_index_dir):
         assert set(res[res.query_id == qi]["vec_id"]) == want[qi]
 
 
+def test_brute_force_pairs_row_cap_raises(emb_ds):
+    """The O(n²) baseline must fail LOUDLY past its row cap instead of
+    broadcasting a corpus-sized matrix (max_keys pattern)."""
+    ds, _ = emb_ds
+    with pytest.raises(ValueError, match="max_rows"):
+        ann.brute_force_pairs(ds, threshold=0.4, max_rows=100)
+
+
 def test_ivf_index_build_resumes(emb_ds, ivf_index_dir):
     """A completed build is a no-op on re-run (meta written last)."""
     import os

@@ -87,6 +87,36 @@ def test_jaccard_helper():
     assert dd.jaccard(a, a) == 1.0
 
 
+def test_pairwise_jaccard_matches_scalar():
+    """The lexsort-batched jaccard kernel == the scalar reference on
+    random variable-length uint64 sets, including empty/empty = 1.0."""
+    rng = np.random.default_rng(3)
+    sets_a, sets_b = [], []
+    for _ in range(200):
+        sets_a.append(np.unique(rng.integers(0, 40, size=rng.integers(0, 30)).astype(np.uint64)))
+        sets_b.append(np.unique(rng.integers(0, 40, size=rng.integers(0, 30)).astype(np.uint64)))
+    sets_a.append(np.array([], dtype=np.uint64))
+    sets_b.append(np.array([], dtype=np.uint64))
+    offs_a, flat_a = dd._flat_u64_segments([s.tobytes() for s in sets_a])
+    offs_b, flat_b = dd._flat_u64_segments([s.tobytes() for s in sets_b])
+    got = dd._pairwise_jaccard(flat_a, np.diff(offs_a), flat_b, np.diff(offs_b))
+    want = np.array([dd.jaccard(a, b) for a, b in zip(sets_a, sets_b)])
+    assert np.array_equal(got, want)
+
+
+def test_gather_segments_matches_slicing():
+    rng = np.random.default_rng(4)
+    lens = rng.integers(0, 9, size=50)
+    offs = np.zeros(51, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = rng.integers(0, 1000, size=int(lens.sum())).astype(np.uint64)
+    idx = rng.integers(0, 50, size=30)
+    vals, out_lens = dd._gather_segments(offs, flat, idx)
+    want = np.concatenate([flat[offs[i]:offs[i + 1]] for i in idx]) if len(idx) else flat[:0]
+    assert np.array_equal(vals, want)
+    assert np.array_equal(out_lens, lens[idx])
+
+
 def test_connected_components_and_keep_list(docs_ds):
     pairs = dd.minhash_lsh_pairs(docs_ds, threshold=0.7).to_pandas()
     comp = dd.connected_components(pairs)

@@ -89,6 +89,37 @@ def test_unigram_commonness_reference(docs_ds):
     assert len(got) == len(df)
 
 
+def test_unigram_commonness_topk_infinite_equals_uncapped(docs_ds):
+    """K >= |vocab| must be byte-identical to the uncapped model — the
+    cap is a pure refinement, not a different scorer."""
+    ds, df = docs_ds
+    uncapped = training.unigram_commonness(ds)
+    capped = training.unigram_commonness(ds, top_k=10_000_000)
+    pd.testing.assert_frame_equal(uncapped, capped)
+
+
+def test_unigram_commonness_topk_matches_reference(docs_ds):
+    """Small K: kept vocab = top-K by (count desc, token asc); tokens
+    outside it contribute 0 to freq_sum while n_tokens stays total."""
+    ds, df = docs_ds
+    K = 7
+    got = training.unigram_commonness(ds, top_k=K)
+    toks = df.set_index("doc_id")["text"].str.findall(r"\S+")
+    freq: dict = {}
+    for ts in toks:
+        for t in ts:
+            freq[t] = freq.get(t, 0) + 1
+    kept = set(
+        t for t, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+    )
+    for doc_id, ts in toks.items():
+        row = got[got["doc_id"] == doc_id].iloc[0]
+        fs = sum(freq[t] for t in ts if t in kept)
+        assert row["n_tokens"] == len(ts)
+        assert row["freq_sum"] == fs, doc_id
+        assert row["commonness"] == (fs / len(ts) if ts else 0.0)
+
+
 def test_kmeans_planted_clusters(ray_session):
     """Three tight planted blobs -> every member lands with its blob's
     seed; exactness vs a single-process numpy replica of the integer
