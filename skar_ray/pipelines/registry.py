@@ -852,9 +852,13 @@ def lm_commonness_topk(sf_dir: str) -> pd.DataFrame:
 
 def cluster_kmeans(sf_dir: str) -> pd.DataFrame:
     """Integer-exact 2-iteration Lloyd k-means over the embeddings table
-    (broadcast centroids + k×d mergeable partial sums)."""
+    (broadcast centroids + k×d mergeable partial sums).
+
+    Pinned to iters=2: the SQL oracle coalesces an empty cluster to the
+    INIT centroid, while kmeans_clusters keeps the PREVIOUS one — the
+    two agree only while "previous" == "init", i.e. at iters<=2."""
     return training.kmeans_clusters(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), iters=2
     )
 
 
@@ -866,7 +870,13 @@ def inverted_index(sf_dir: str) -> pd.DataFrame:
         .map_batches(text.postings_batch, batch_format="pandas")
         .to_pandas()
     )
-    return out.sort_values(["tok", "doc_id"]).reset_index(drop=True)
+    out = out.sort_values(["tok", "doc_id"]).reset_index(drop=True)
+    # the SQL oracle enumerates ordinals via generate_series(1, 8192);
+    # a longer document would silently truncate the ORACLE and flag a
+    # correct pipeline as wrong — fail loudly here instead
+    assert len(out) == 0 or out["first_pos"].le(8192).all(), \
+        "document exceeds the oracle's 8192-token ordinal cap (1-based)"
+    return out
 
 
 def length_quantiles(sf_dir: str) -> pd.DataFrame:

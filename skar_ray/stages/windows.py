@@ -23,7 +23,22 @@ import ray.data
 from .groups import bucketed_group_apply
 
 
-def tumbling_window_counts(ds: "ray.data.Dataset", freq: str = "D") -> pd.DataFrame:
+def _finish(out: "ray.data.Dataset", sort_cols: list[str], astype: dict,
+            as_dataset: bool):
+    """Window deliverable: ``as_dataset=True`` keeps the result a
+    (typed) Dataset so 100×-scale callers never collect — outputs are
+    per-(key, window) aggregates, but at web scale even key×window
+    cardinality shouldn't transit the driver; ``False`` returns the
+    sorted DataFrame the oracles compare (equality pinned by pytest)."""
+    if as_dataset:
+        return out.map_batches(lambda b, t=astype: b.astype(t), batch_format="pandas")
+    return (
+        out.to_pandas().sort_values(sort_cols).reset_index(drop=True).astype(astype)
+    )
+
+
+def tumbling_window_counts(ds: "ray.data.Dataset", freq: str = "D",
+                           as_dataset: bool = False) -> pd.DataFrame:
     """Per (user_id, day) tumbling window: row count + min/max value.
 
     Decomposable aggregates (count/min/max) pre-aggregate PER BATCH
@@ -49,20 +64,15 @@ def tumbling_window_counts(ds: "ray.data.Dataset", freq: str = "D") -> pd.DataFr
             "max_value": [g["max_value"].max()],
         })
 
-    res = (
-        bucketed_group_apply(
-            ds.map_batches(partials, batch_format="pandas"), ["user_id", "day"], combine
-        )
-        .to_pandas()
-        .sort_values(["user_id", "day"])
-        .reset_index(drop=True)
+    out = bucketed_group_apply(
+        ds.map_batches(partials, batch_format="pandas"), ["user_id", "day"], combine
     )
-    res["n"] = res["n"].astype("int64")
-    return res
+    return _finish(out, ["user_id", "day"], {"n": "int64"}, as_dataset)
 
 
 def session_windows(ds: "ray.data.Dataset", gap_minutes: int = 60,
-                    salt_freq: str | None = "1D") -> pd.DataFrame:
+                    salt_freq: str | None = "1D",
+                    as_dataset: bool = False) -> pd.DataFrame:
     """Per-user session count + total events, sessions split at
     inactivity gaps > ``gap_minutes`` (classic sessionisation).
 
@@ -88,14 +98,10 @@ def session_windows(ds: "ray.data.Dataset", gap_minutes: int = 60,
                 {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(g)]}
             )
 
-        res = (
-            ds.groupby("user_id")
-            .map_groups(per_user, batch_format="pandas")
-            .to_pandas()
-            .sort_values("user_id")
-            .reset_index(drop=True)
-        )
-        return res.astype({"user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
+        out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+        return _finish(out, ["user_id"],
+                       {"user_id": "int64", "n_sessions": "int64", "n_events": "int64"},
+                       as_dataset)
 
     def bucketed(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.assign(__bkt=batch["ts"].dt.floor(salt_freq))
@@ -132,19 +138,16 @@ def session_windows(ds: "ray.data.Dataset", gap_minutes: int = 60,
             "n_events": [int(g["n_events"].sum())],
         })
 
-    res = (
+    out = bucketed_group_apply(
         bucketed_group_apply(
-            bucketed_group_apply(
-                ds.map_batches(bucketed, batch_format="pandas"),
-                ["user_id", "__bkt"], per_user_bucket,
-            ),
-            ["user_id"], merge_user,
-        )
-        .to_pandas()
-        .sort_values("user_id")
-        .reset_index(drop=True)
+            ds.map_batches(bucketed, batch_format="pandas"),
+            ["user_id", "__bkt"], per_user_bucket,
+        ),
+        ["user_id"], merge_user,
     )
-    return res.astype({"user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
+    return _finish(out, ["user_id"],
+                   {"user_id": "int64", "n_sessions": "int64", "n_events": "int64"},
+                   as_dataset)
 
 
 class StreamingWindowState:
@@ -221,7 +224,8 @@ def streaming_tumbling_counts(ds: "ray.data.Dataset", freq: str = "D",
 
 def asof_join_events(ds: "ray.data.Dataset", left_type: str = "purchase",
                      right_type: str = "click",
-                     salt_freq: str | None = "1D") -> pd.DataFrame:
+                     salt_freq: str | None = "1D",
+                     as_dataset: bool = False) -> pd.DataFrame:
     """As-of join inside the ordered log: for every `left_type` event,
     the most recent `right_type` event of the SAME user at ts <= left.ts
     (inner semantics — lefts with no prior right are dropped).
@@ -259,14 +263,9 @@ def asof_join_events(ds: "ray.data.Dataset", left_type: str = "purchase",
             m["user_id"] = g["user_id"].iloc[0]
             return m[["event_id", "user_id", "last_right_ts"]]
 
-        res = (
-            ds.groupby("user_id")
-            .map_groups(per_user, batch_format="pandas")
-            .to_pandas()
-            .sort_values("event_id")
-            .reset_index(drop=True)
-        )
-        return res.astype({"event_id": "int64", "user_id": "int64"})
+        out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+        return _finish(out, ["event_id"],
+                       {"event_id": "int64", "user_id": "int64"}, as_dataset)
 
     def bucketed(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[batch["event_type"].isin([left_type, right_type])]
@@ -350,18 +349,14 @@ def asof_join_events(ds: "ray.data.Dataset", left_type: str = "purchase",
         part.map_batches(lambda b: b[b["kind"] != "m"], batch_format="pandas"),
         ["user_id"], resolve,
     )
-    res = (
-        matched.union(resolved)
-        .to_pandas()
-        .sort_values("event_id")
-        .reset_index(drop=True)
-    )
-    return res.astype({"event_id": "int64", "user_id": "int64",
-                       "last_right_ts": "datetime64[us]"})
+    return _finish(matched.union(resolved), ["event_id"],
+                   {"event_id": "int64", "user_id": "int64",
+                    "last_right_ts": "datetime64[us]"}, as_dataset)
 
 
 def sliding_window_peak(ds: "ray.data.Dataset", window: str = "6h", step_hours: int = 1,
-                        salt_freq: str | None = "1D") -> pd.DataFrame:
+                        salt_freq: str | None = "1D",
+                        as_dataset: bool = False) -> pd.DataFrame:
     """Per user: the peak event count over sliding windows of `window`
     advancing by `step_hours` (late-data tolerant: windows are derived
     from event time, not arrival order). Returns (user_id, peak_count).
@@ -393,14 +388,9 @@ def sliding_window_peak(ds: "ray.data.Dataset", window: str = "6h", step_hours: 
             peak = sweep(ts, np.ones(len(ts), dtype=bool))
             return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "peak_count": [peak]})
 
-        res = (
-            ds.groupby("user_id")
-            .map_groups(per_user, batch_format="pandas")
-            .to_pandas()
-            .sort_values("user_id")
-            .reset_index(drop=True)
-        )
-        return res.astype({"user_id": "int64", "peak_count": "int64"})
+        out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+        return _finish(out, ["user_id"],
+                       {"user_id": "int64", "peak_count": "int64"}, as_dataset)
 
     if pd.Timedelta(salt_freq) < pd.Timedelta(window):
         raise ValueError("salt_freq must be >= window so context spans one boundary only")
@@ -431,16 +421,12 @@ def sliding_window_peak(ds: "ray.data.Dataset", window: str = "6h", step_hours: 
         return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
                              "peak_count": [int(g["peak_count"].max())]})
 
-    res = (
+    out = bucketed_group_apply(
         bucketed_group_apply(
-            bucketed_group_apply(
-                ds.map_batches(explode, batch_format="pandas"),
-                ["user_id", "__bkt"], per_user_bucket,
-            ),
-            ["user_id"], max_user,
-        )
-        .to_pandas()
-        .sort_values("user_id")
-        .reset_index(drop=True)
+            ds.map_batches(explode, batch_format="pandas"),
+            ["user_id", "__bkt"], per_user_bucket,
+        ),
+        ["user_id"], max_user,
     )
-    return res.astype({"user_id": "int64", "peak_count": "int64"})
+    return _finish(out, ["user_id"],
+                   {"user_id": "int64", "peak_count": "int64"}, as_dataset)

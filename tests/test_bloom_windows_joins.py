@@ -311,3 +311,42 @@ def test_salted_windows_match_pandas_reference(ray_session, seed):
                                            "last_right_ts": "datetime64[us]"}))
     got = W.asof_join_events(ds, salt_freq="1D")
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_window_as_dataset_equals_dataframe(events_ds, ray_session):
+    """as_dataset=True must be the SAME result, just not collected —
+    the 100x-scale deliverable path (collect-free) pinned equal to the
+    oracle-comparable DataFrame path."""
+    import ray
+    import ray.data
+
+    from skar_ray.stages.windows import (
+        asof_join_events,
+        session_windows,
+        sliding_window_peak,
+        tumbling_window_counts,
+    )
+
+    for fn, kwargs, sort_cols in [
+        (tumbling_window_counts, {}, ["user_id", "day"]),
+        (session_windows, {"gap_minutes": 60}, ["user_id"]),
+        (sliding_window_peak, {"window": "1h"}, ["user_id"]),
+    ]:
+        df = fn(events_ds, **kwargs)
+        dset = fn(events_ds, as_dataset=True, **kwargs)
+        assert isinstance(dset, ray.data.Dataset)
+        got = dset.to_pandas().sort_values(sort_cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, df, check_like=True)
+
+    ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00"])
+    df_in = pd.DataFrame({
+        "event_id": [0, 1, 2], "ts": list(ts), "user_id": [1, 1, 1],
+        "event_type": ["click", "purchase", "purchase"], "value": [0.0, 1.0, 2.0],
+    })
+    src = ray.data.from_pandas(df_in)
+    df = asof_join_events(src)
+    got = (
+        asof_join_events(src, as_dataset=True)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, df, check_like=True)
