@@ -103,6 +103,21 @@ def test_ivf_index_full_probe_is_exact(emb_ds, ivf_index_dir):
         assert set(res[res.query_id == qi]["vec_id"]) == want[qi]
 
 
+def test_ivf_index_edge_params(emb_ds, tmp_path):
+    """n_lists beyond the training sample is capped by available rows;
+    nprobe beyond n_lists is clamped and stays exact."""
+    from skar_ray.pipelines import ann_index
+
+    ds, vecs = emb_ds
+    idx = str(tmp_path / "edge")
+    meta = ann_index.build_ivf_index(ds, idx, n_lists=4, seed=7)
+    assert meta["n_lists"] == 4
+    res = ann_index.ivf_index_topk(idx, vecs[:2], k=5, nprobe=99).to_pandas()
+    want = _exact_topk(vecs, vecs[:2], 5)
+    for qi in range(2):
+        assert set(res[res.query_id == qi]["vec_id"]) == want[qi]
+
+
 def test_brute_force_pairs_row_cap_raises(emb_ds):
     """The O(n²) baseline must fail LOUDLY past its row cap instead of
     broadcasting a corpus-sized matrix (max_keys pattern)."""
