@@ -363,6 +363,24 @@ def run_encode_job(
             else fresh
         )
 
+    # orphan sweep: a changed corpus (or plan) can stop producing some
+    # partition ids entirely; their stale containers would otherwise
+    # stay "done" in the manifest dir and every query (which scans ALL
+    # manifests) would read rows the current corpus no longer contains.
+    # After a fully-successful encode, the store's contract is
+    # out_dir == encode(corpus_path) EXACTLY — drop anything the job
+    # neither wrote nor resume-skipped (the reference's rollback
+    # truncation analog, skar_runner.rs:160-213).  Runs only on
+    # success: a crashed job never sweeps.
+    live = set(summary.column("partition_id").to_pylist()) if summary.num_rows else set()
+    for pid, m in manifest_mod.scan_manifests(out_dir).items():
+        if pid in live:
+            continue
+        for fname in (m.data_file, os.path.join("_manifest", f"part-{pid:06d}.json")):
+            p = os.path.join(out_dir, fname)
+            if os.path.exists(p):
+                os.remove(p)
+
     job = {
         "corpus": corpus_path,
         "mode": mode,

@@ -308,3 +308,38 @@ def test_mutated_input_reencodes_only_affected_partitions(ray_session, tmp_path)
         sorted(s3.column("content_sha256").to_pylist())
     v = run_verify_job(corpus, out)
     assert v["rows_match"] and v["digests_verified"]
+
+
+def test_reencode_with_shrunk_corpus_sweeps_orphans(ray_session, tmp_path):
+    """Re-encoding a SMALLER corpus into an existing store must leave
+    the store == encode(new corpus) EXACTLY: partitions the new plan no
+    longer produces are swept (container + manifest), or every query —
+    which scans all manifests — would read stale rows.  The rollback
+    truncation analog (skar_runner.rs:160-213)."""
+    import glob
+
+    from skar_ray.corpus import ensure_corpus
+
+    src = ensure_corpus(2000)
+    big = os.path.join(src, "corpus.parquet")
+    out = str(tmp_path / "store")
+    run_encode_job(big, out, target_partition_bytes=1 << 20,
+                   chunk_target_bytes=1 << 20, mode="hashed")
+    n_before = len(manifest.scan_manifests(out))
+    assert n_before > 3
+
+    # smaller corpus: ONE part file of the original (fewer repos/rows)
+    small = str(tmp_path / "small.parquet")
+    os.makedirs(small)
+    victim = sorted(glob.glob(os.path.join(big, "*.parquet")))[0]
+    shutil.copy(victim, os.path.join(small, "part-0000.parquet"))
+
+    run_encode_job(small, out, target_partition_bytes=1 << 20,
+                   chunk_target_bytes=1 << 20, mode="hashed")
+    ms = manifest.scan_manifests(out)
+    assert len(ms) < n_before, "orphaned partitions must be swept"
+    # every remaining container exists; no stray .skarc beyond manifests
+    files = {f for f in os.listdir(out) if f.endswith(".skarc")}
+    assert files == {m.data_file for m in ms.values()}
+    v = run_verify_job(small, out)
+    assert v["rows_match"] and v["digests_verified"]
