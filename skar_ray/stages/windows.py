@@ -192,7 +192,8 @@ class StreamingWindowState:
 
 
 def streaming_tumbling_counts(ds: "ray.data.Dataset", freq: str = "D",
-                              n_buckets: int = 4) -> pd.DataFrame:
+                              n_buckets: int = 4,
+                              as_dataset: bool = False) -> pd.DataFrame:
     """Drive StreamingWindowState through an actor pool: rows are
     bucketed by user hash (so one actor owns each key), each actor
     consumes its batches incrementally, and the LAST emitted snapshot
@@ -213,13 +214,14 @@ def streaming_tumbling_counts(ds: "ray.data.Dataset", freq: str = "D",
             out = actor(g.iloc[i : i + max(1, len(g) // 4)])
         return out if out is not None else actor.snapshot()
 
-    res = (
+    out = (
         ds.map_batches(bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
-        .to_pandas()
     )
-    return res.sort_values(["user_id", "day"]).reset_index(drop=True)
+    if as_dataset:
+        return out
+    return out.to_pandas().sort_values(["user_id", "day"]).reset_index(drop=True)
 
 
 def asof_join_events(ds: "ray.data.Dataset", left_type: str = "purchase",
