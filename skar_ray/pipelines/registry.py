@@ -984,10 +984,20 @@ def ann_ivf(sf_dir: str) -> pa.Table:
     the query decodes only the ``nprobe`` probed lists' partitions —
     reference's index-at-write/prune-at-query shape
     (build_parquet_idx.rs:19-199, query/handler.rs:96-185)."""
+    import time as _time
+
+    t0 = _time.time()
     idx = _ivf_index_for(sf_dir)
-    return ann_index.ivf_index_topk(idx, _query_vectors(sf_dir), k=10, nprobe=4).select(
+    t1 = _time.time()
+    res = ann_index.ivf_index_topk(idx, _query_vectors(sf_dir), k=10, nprobe=4).select(
         ["query_id", "vec_id"]
     )
+    # build_s is ~0 on a warm index (resume no-op) — the bench's
+    # best-of-2 therefore reports the prune-at-query cost
+    PHASE_TIMINGS["ann_ivf"] = {
+        "build_s": round(t1 - t0, 3), "query_s": round(_time.time() - t1, 3),
+    }
+    return res
 
 
 def ann_ivf_full(sf_dir: str) -> pa.Table:
