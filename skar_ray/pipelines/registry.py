@@ -1103,6 +1103,22 @@ def sliding_window(sf_dir: str) -> pd.DataFrame:
     return windows.sliding_window_peak(ds, window="6h")
 
 
+def range_join_bands(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: events matched into OVERLAPPING value
+    bands (width 7.5, step 5 — each value can land in 1–2 bands) via
+    the broadcast interval join; the non-equi join class the equi
+    bucket/broadcast joins can't express."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    bands = pd.DataFrame({
+        "band_id": np.arange(20, dtype=np.int64),
+        "lo": np.arange(20, dtype=np.float64) * 5.0,
+        "hi": np.arange(20, dtype=np.float64) * 5.0 + 7.5,
+    })
+    out = joins.broadcast_interval_join(ds, bands, "value").to_pandas()
+    out = out[["event_id", "band_id"]].sort_values(["event_id", "band_id"])
+    return out.reset_index(drop=True).astype({"event_id": "int64", "band_id": "int64"})
+
+
 def asof_join(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
@@ -1474,6 +1490,14 @@ QUERIES: dict[str, tuple] = {
         "    RANGE BETWEEN INTERVAL '21599999999 microseconds' PRECEDING AND CURRENT ROW) AS cnt"
         "  FROM events"
         ") GROUP BY user_id",
+    ),
+    "range_join_bands": (
+        range_join_bands,
+        # same overlapping bands re-derived in SQL; non-equi join
+        "WITH bands AS (SELECT CAST(i AS BIGINT) AS band_id, i*5.0 AS lo,"
+        " i*5.0+7.5 AS hi FROM generate_series(0, 19) t(i)) "
+        "SELECT e.event_id, b.band_id FROM events e JOIN bands b"
+        " ON e.value >= b.lo AND e.value < b.hi",
     ),
     "asof_join": (
         asof_join,

@@ -182,3 +182,58 @@ def bucket_anti_join(
     from .groups import bucketed_group_apply
 
     return bucketed_group_apply(both, ["__bucket"], anti_bucket)
+
+
+def broadcast_interval_join(
+    large: "ray.data.Dataset",
+    intervals_df: pd.DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    max_intervals: int = 10_000,
+) -> "ray.data.Dataset":
+    """Range (interval) join: each left row matches EVERY interval with
+    ``lo <= value < hi`` — several for overlapping bands, none drops
+    the row (inner semantics).  The non-equi analog of the reference's
+    broadcast-set probes (query/execution/mod.rs:183-185): the interval
+    table ships once via ``ray.put``; each batch computes the full
+    match set VECTORIZED as an (n_rows × n_intervals) comparison mask
+    (no row loop, no shuffle — the left side streams).
+
+    ``max_intervals`` bounds the mask width loudly (the semi-join
+    ``max_keys`` pattern): past it, bucket both sides by a coarse value
+    range and co-group instead — the broadcast shape is wrong there.
+    Output: every left column plus the interval table's columns for
+    each match.
+    """
+    import numpy as np
+
+    if len(intervals_df) > max_intervals:
+        raise ValueError(
+            f"interval table has {len(intervals_df)} rows (> max_intervals="
+            f"{max_intervals}); bucket by value range and co-group instead "
+            "of broadcasting an (n_rows x n_intervals) mask this wide"
+        )
+    iv = intervals_df.reset_index(drop=True)
+    ref = ray.put((
+        iv[lo_col].to_numpy(dtype=np.float64),
+        iv[hi_col].to_numpy(dtype=np.float64),
+        iv.drop(columns=[lo_col, hi_col]),
+    ))
+
+    class Probe:
+        def __init__(self, ref):
+            self.lo, self.hi, self.meta = ray.get(ref)  # once per actor
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            v = batch[value_col].to_numpy(dtype=np.float64)
+            mask = (v[:, None] >= self.lo) & (v[:, None] < self.hi)
+            li, ri = np.nonzero(mask)
+            left = batch.iloc[li].reset_index(drop=True)
+            right = self.meta.iloc[ri].reset_index(drop=True)
+            return pd.concat([left, right], axis=1)
+
+    return large.map_batches(
+        Probe, fn_constructor_args=(ref,), batch_format="pandas",
+        concurrency=pool_size(),
+    )

@@ -350,3 +350,34 @@ def test_window_as_dataset_equals_dataframe(events_ds, ray_session):
         .to_pandas().sort_values("event_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, df, check_like=True)
+
+
+def test_broadcast_interval_join(ray_session):
+    """Overlapping bands: a value can match several intervals; values
+    outside every band drop (inner); the width cap raises loudly."""
+    import numpy as np
+    import ray.data
+
+    from skar_ray.stages.joins import broadcast_interval_join
+
+    df = pd.DataFrame({"event_id": [0, 1, 2, 3], "value": [1.0, 6.0, 99.0, -5.0]})
+    bands = pd.DataFrame({
+        "band_id": [0, 1, 2],
+        "lo": [0.0, 5.0, 5.5],
+        "hi": [7.5, 12.5, 6.5],
+    })
+    out = (
+        broadcast_interval_join(ray.data.from_pandas(df), bands, "value")
+        .to_pandas().sort_values(["event_id", "band_id"]).reset_index(drop=True)
+    )
+    want = (
+        df.merge(bands, how="cross")
+        .query("value >= lo and value < hi")[["event_id", "band_id"]]
+        .sort_values(["event_id", "band_id"]).reset_index(drop=True)
+    )
+    assert out[["event_id", "band_id"]].values.tolist() == want.values.tolist()
+    assert 3 not in set(out["event_id"])  # -5.0 matches nothing
+    assert (out[out.event_id == 1]["band_id"].tolist()) == [0, 1, 2]  # 6.0 in all three
+
+    with pytest.raises(ValueError, match="max_intervals"):
+        broadcast_interval_join(ray.data.from_pandas(df), bands, "value", max_intervals=2)
