@@ -9,9 +9,11 @@ This module implements the minimal exchange with raw Ray tasks (the
 documented last-resort case: the Dataset API cannot express a
 sort-free hash exchange in this version):
 
-    map task  (one per input file-chunk): read → assign pkeys →
-              hash-split into per-pkey sub-tables → ``ray.put`` each →
-              return {pkey: ref}
+    map task  (one per input file-chunk): stream record batches into a
+              bounded buffer (``SKAR_RAY_MAP_BUFFER_BYTES``, 128 MiB) →
+              assign pkeys → hash-split into per-pkey sub-tables →
+              ``ray.put`` each → return {pkey: [refs]} — worker heap is
+              bounded by the buffer, not the input file size
     reduce    (one per pkey): ray.get(refs) → concat →
               ``encode_partition`` (unchanged)
 
@@ -41,36 +43,59 @@ from ..stages import partitioner
 from ..stages.encoder import encode_partition
 
 
+def _map_buffer_bytes() -> int:
+    """Heap bound for the map-side read buffer: batches accumulate to
+    this many bytes, then split+put — a single giant input file streams
+    through in bounded memory instead of materializing with to_table()."""
+    return int(os.environ.get("SKAR_RAY_MAP_BUFFER_BYTES", 128 << 20))
+
+
 @ray.remote
 def _map_split(paths: list[str], plan: "partitioner.PartitionPlan",
-               skip_pkeys: frozenset[int]) -> dict[int, "ray.ObjectRef"]:
-    import pyarrow.dataset as pads
-
-    tables = []
-    for p in paths:
-        tables.append(pads.dataset(p).to_table())
-    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
-    keyed = partitioner.assign_pkeys(t, plan)
+               skip_pkeys: frozenset[int],
+               buffer_bytes: int) -> dict[int, list["ray.ObjectRef"]]:
     import numpy as np
     import pyarrow.compute as pc
+    import pyarrow.dataset as pads
 
-    # one sort + run slicing instead of a filter pass per pkey: the old
-    # loop scanned the whole block once per DISTINCT pkey (O(n·k) — k
-    # grows with partition count at scale); row order within a pkey is
-    # irrelevant (the reducer lexsorts)
-    idx = pc.sort_indices(keyed.column("pkey"))
-    srt = keyed.take(idx).combine_chunks()
-    pk = np.asarray(srt.column("pkey"), dtype=np.int64)
-    out: dict[int, ray.ObjectRef] = {}
-    if len(pk) == 0:
-        return out
-    bounds = np.concatenate(([0], np.flatnonzero(np.diff(pk)) + 1, [len(pk)]))
-    for i in range(len(bounds) - 1):
-        start, end = int(bounds[i]), int(bounds[i + 1])
-        pkey = int(pk[start])
-        if pkey in skip_pkeys:
-            continue
-        out[pkey] = ray.put(srt.slice(start, end - start).combine_chunks())
+    out: dict[int, list[ray.ObjectRef]] = {}
+
+    def _split_put(t: pa.Table) -> None:
+        keyed = partitioner.assign_pkeys(t, plan)
+        # one sort + run slicing instead of a filter pass per pkey: the
+        # old loop scanned the whole block once per DISTINCT pkey
+        # (O(n·k) — k grows with partition count at scale); row order
+        # within a pkey is irrelevant (the reducer lexsorts, and the
+        # salt is content-derived so chunk boundaries don't move rows)
+        idx = pc.sort_indices(keyed.column("pkey"))
+        srt = keyed.take(idx).combine_chunks()
+        pk = np.asarray(srt.column("pkey"), dtype=np.int64)
+        if len(pk) == 0:
+            return
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(pk)) + 1, [len(pk)]))
+        for i in range(len(bounds) - 1):
+            start, end = int(bounds[i]), int(bounds[i + 1])
+            pkey = int(pk[start])
+            if pkey in skip_pkeys:
+                continue
+            ref = ray.put(srt.slice(start, end - start).combine_chunks())
+            out.setdefault(pkey, []).append(ref)
+
+    # stream record batches with a bounded accumulation buffer: peak
+    # worker heap is ~buffer + its sorted copy, independent of file size
+    buf: list[pa.Table] = []
+    buf_bytes = 0
+    for p in paths:
+        for b in pads.dataset(p).to_batches():
+            if b.num_rows == 0:
+                continue
+            buf.append(pa.Table.from_batches([b]))
+            buf_bytes += b.nbytes
+            if buf_bytes >= buffer_bytes:
+                _split_put(pa.concat_tables(buf) if len(buf) > 1 else buf[0])
+                buf, buf_bytes = [], 0
+    if buf:
+        _split_put(pa.concat_tables(buf) if len(buf) > 1 else buf[0])
     return out
 
 
@@ -121,7 +146,9 @@ def run_hashed_encode(
         return sorted(repos)
 
     # launch the heavy maps FIRST; the metadata tasks overlap them
-    map_futs = {(_map_split.remote(g, plan, skip_pkeys)): gi for gi, g in enumerate(groups)}
+    buffer_bytes = _map_buffer_bytes()
+    map_futs = {(_map_split.remote(g, plan, skip_pkeys, buffer_bytes)): gi
+                for gi, g in enumerate(groups)}
     group_repos = ray.get([_repos_of.remote(g) for g in groups])
     contrib: dict[int, set[int]] = {}
     for gi, repos in enumerate(group_repos):
@@ -142,7 +169,8 @@ def run_hashed_encode(
         for pk, needed in contrib.items():
             if pk in launched or not needed <= done_set:
                 continue
-            refs = [done_maps[gi][pk] for gi in sorted(needed) if pk in done_maps[gi]]
+            refs = [r for gi in sorted(needed) if pk in done_maps[gi]
+                    for r in done_maps[gi][pk]]
             if refs:
                 futs.append(_reduce_encode.remote(
                     pk, refs, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides,
@@ -160,9 +188,9 @@ def run_hashed_encode(
     # pre-pass (cannot happen when repo sets are exact) still encodes
     leftovers: dict[int, list] = {}
     for gi, d in done_maps.items():
-        for pk, ref in d.items():
+        for pk, refs in d.items():
             if pk not in launched:
-                leftovers.setdefault(pk, []).append(ref)
+                leftovers.setdefault(pk, []).extend(refs)
     for pk, refs in sorted(leftovers.items()):
         futs.append(_reduce_encode.remote(
             pk, refs, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides,

@@ -171,6 +171,30 @@ def test_hashed_mode_matches_grouped_and_resumes(ray_session, corpus_dir, tmp_pa
     assert h_digests == g_digests, "hash exchange must produce identical partitions"
 
 
+def test_map_side_streaming_buffer_is_transparent(ray_session, corpus_dir, tmp_path, monkeypatch):
+    """The hash-exchange map side streams record batches through a
+    bounded buffer (so a giant input file can't blow a worker's heap).
+    Shrinking the buffer to 64 KiB forces many flushes per map task —
+    the store must come out identical to the default single-flush run
+    (content-derived salting + reducer lexsort make chunking invisible)."""
+    corpus = os.path.join(corpus_dir, "corpus.parquet")
+    monkeypatch.setenv("SKAR_RAY_MAP_BUFFER_BYTES", str(64 << 10))
+    out = str(tmp_path / "tiny_buf")
+    s_tiny = run_encode_job(corpus, out, target_partition_bytes=2 << 20,
+                            chunk_target_bytes=1 << 20, mode="hashed")
+    v = run_verify_job(corpus, out)
+    assert v["rows_match"] and v["digests_verified"]
+    monkeypatch.delenv("SKAR_RAY_MAP_BUFFER_BYTES")
+    out2 = str(tmp_path / "default_buf")
+    s_def = run_encode_job(corpus, out2, target_partition_bytes=2 << 20,
+                           chunk_target_bytes=1 << 20, mode="hashed")
+    tiny = sorted(zip(s_tiny.column("partition_id").to_pylist(),
+                      s_tiny.column("content_sha256").to_pylist()))
+    dflt = sorted(zip(s_def.column("partition_id").to_pylist(),
+                      s_def.column("content_sha256").to_pylist()))
+    assert tiny == dflt, "map-side buffer size must not change partition contents"
+
+
 def test_corrupted_container_fails_verification(ray_session, tmp_path):
     """Round-trip proof must be falsifiable: flipping one payload byte in
     a .skarc makes the verify job raise (digest mismatch or codec
