@@ -77,6 +77,7 @@ def build_ivf_index(
     n_lists: int | None = None,
     seed: int = 42,
     resume: bool = True,
+    input_fingerprint: str = "",
 ) -> dict:
     """Assign list ids at write time and persist list-partitioned
     encoded containers.  Returns the index meta.
@@ -84,6 +85,13 @@ def build_ivf_index(
     ``resume=True`` makes a completed build a no-op: the meta file is
     written last, so its presence (with matching row count) proves the
     per-list manifests underneath it are complete.
+
+    ``input_fingerprint`` guards resume against CONTENT mutation: a
+    row count alone cannot see regenerated embeddings with the same
+    cardinality.  Callers should derive it from the input's identity
+    (e.g. source file size+mtime); a mismatch forces a rebuild, and the
+    rebuild sweeps list partitions the new assignment no longer
+    produces (same contract as run_encode_job's orphan sweep).
     """
     n = ds.count()
     if n_lists is None:
@@ -91,7 +99,8 @@ def build_ivf_index(
     if resume:
         meta = load_meta(index_dir)
         if meta is not None and meta["n_rows"] == n and meta["n_lists"] == n_lists \
-                and meta["seed"] == seed:
+                and meta["seed"] == seed \
+                and meta.get("input_fingerprint", "") == input_fingerprint:
             return meta
 
     # identical training recipe to ann.ivf_topk so the persisted path
@@ -131,18 +140,37 @@ def build_ivf_index(
         # deterministic container bytes: order within a list is
         # irrelevant for search, so pin it by vec_id
         group = group.take(pc.sort_indices(group.column("vec_id")))
-        return encode_partition(group, index_dir, input_fingerprint=f"ivf-s{seed}")
+        return encode_partition(
+            group, index_dir,
+            input_fingerprint=f"ivf-s{seed}:{input_fingerprint}",
+        )
 
     summaries = keyed.groupby("pkey").map_groups(
         _encode_list, batch_format="pyarrow"
     ).to_pandas()
 
     list_rows = {int(r.partition_id): int(r.n_rows) for r in summaries.itertuples()}
+
+    # orphan sweep: a rebuild into an existing index_dir can stop
+    # producing some list ids (changed data / n_lists); their stale
+    # containers would otherwise stay "done" and ivf_index_topk (which
+    # scans ALL manifests) would serve vectors the dataset no longer
+    # contains — breaking the nprobe==n_lists exactness invariant.
+    # Runs only on a successful build, before the meta publish.
+    for pid, m in manifest_mod.scan_manifests(index_dir).items():
+        if pid in list_rows:
+            continue
+        for p in (os.path.join(index_dir, m.data_file),
+                  manifest_mod._path_for(index_dir, pid)):
+            if os.path.exists(p):
+                os.remove(p)
+
     meta = {
         "n_rows": int(n),
         "n_lists": int(n_lists),
         "dim": int(cent.shape[1]),
         "seed": int(seed),
+        "input_fingerprint": input_fingerprint,
         "list_rows": {str(k): v for k, v in sorted(list_rows.items())},
         "centroids": cent.tolist(),
     }

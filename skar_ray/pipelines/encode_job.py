@@ -114,47 +114,20 @@ def _pkey_fingerprints(corpus_path: str, plan, plan_hash: str,
 
     Cost: one stat per file plus, on first sight of a (path,size,mtime)
     triple, one repo-column-only read (tiny, dictionary-encoded) cached
-    as a sidecar JSON — the same metadata pre-pass the hash exchange
-    already runs, made file-granular and persistent.
+    as a sidecar JSON — ``hash_exchange.file_repo_sets``, the SAME
+    cache the hash exchange's metadata pre-pass reads, so the two
+    passes share one repo-column scan per file content version.
     """
     import hashlib
 
-    import ray as _ray
+    from .hash_exchange import file_repo_sets
 
     paths = _input_paths(corpus_path)
-    cache_dir = "/tmp/skar_ray_plans/file_repos"
-    os.makedirs(cache_dir, exist_ok=True)
-
+    cached = file_repo_sets(paths)
     stats: dict[str, str] = {}
-    cached: dict[str, list[str]] = {}
-    misses: list[str] = []
     for p in paths:
         st = os.stat(p)
         stats[p] = f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}"
-        key = hashlib.sha256(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:24]
-        cf = os.path.join(cache_dir, key + ".json")
-        if os.path.exists(cf):
-            with open(cf) as f:
-                cached[p] = json.load(f)
-        else:
-            misses.append((p, cf))
-
-    if misses:
-        @_ray.remote
-        def _repos_of_file(path: str) -> list[str]:
-            import pyarrow.compute as pc
-            import pyarrow.dataset as pads
-
-            t = pads.dataset(path).to_table(columns=["repo"])
-            return sorted(set(pc.unique(t.column("repo")).to_pylist()))
-
-        got = _ray.get([_repos_of_file.remote(p) for p, _ in misses])
-        for (p, cf), repos in zip(misses, got):
-            cached[p] = repos
-            tmp = cf + f".tmp-{os.getpid()}"
-            with open(tmp, "w") as f:
-                json.dump(repos, f)
-            os.replace(tmp, cf)
 
     pkey_files: dict[int, set[str]] = {}
     for p in paths:
@@ -376,8 +349,8 @@ def run_encode_job(
     for pid, m in manifest_mod.scan_manifests(out_dir).items():
         if pid in live:
             continue
-        for fname in (m.data_file, os.path.join("_manifest", f"part-{pid:06d}.json")):
-            p = os.path.join(out_dir, fname)
+        for p in (os.path.join(out_dir, m.data_file),
+                  manifest_mod._path_for(out_dir, pid)):
             if os.path.exists(p):
                 os.remove(p)
 

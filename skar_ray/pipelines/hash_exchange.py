@@ -101,14 +101,58 @@ def _map_split(paths: list[str], plan: "partitioner.PartitionPlan",
 
 @ray.remote
 def _reduce_encode(pkey: int, refs: list["ray.ObjectRef"], out_dir: str,
-                   chunk_target_bytes: int, input_fingerprint: "str | dict[int, str]",
+                   chunk_target_bytes: int, input_fingerprint: str,
                    codec_overrides: dict | None, validate: bool = True) -> dict:
     tables = ray.get(list(refs))
     t = pa.concat_tables(tables).combine_chunks() if len(tables) > 1 else tables[0]
-    fp = input_fingerprint.get(pkey, "") if isinstance(input_fingerprint, dict) else input_fingerprint
-    summary = encode_partition(t, out_dir, chunk_target_bytes, fp, codec_overrides,
-                               validate=validate)
+    summary = encode_partition(t, out_dir, chunk_target_bytes, input_fingerprint,
+                               codec_overrides, validate=validate)
     return {k: summary.column(k)[0].as_py() for k in summary.column_names}
+
+
+def file_repo_sets(paths: list[str]) -> dict[str, list[str]]:
+    """Per-file unique repo sets, with a persistent sidecar cache keyed
+    on (path, size, mtime_ns).  Shared by the per-pkey fingerprint pass
+    (``encode_job._pkey_fingerprints``) and the map-group metadata
+    pre-pass here, so each file's repo column is read AT MOST ONCE per
+    content version — not once per pass per run.  Misses are read in
+    parallel Ray tasks (tiny, dictionary-encoded column only)."""
+    import hashlib
+    import json
+
+    cache_dir = "/tmp/skar_ray_plans/file_repos"
+    os.makedirs(cache_dir, exist_ok=True)
+    out: dict[str, list[str]] = {}
+    misses: list[tuple[str, str]] = []
+    for p in paths:
+        st = os.stat(p)
+        key = hashlib.sha256(
+            f"{p}:{st.st_size}:{st.st_mtime_ns}".encode()
+        ).hexdigest()[:24]
+        cf = os.path.join(cache_dir, key + ".json")
+        if os.path.exists(cf):
+            with open(cf) as f:
+                out[p] = json.load(f)
+        else:
+            misses.append((p, cf))
+
+    if misses:
+        @ray.remote
+        def _repos_of_file(path: str) -> list[str]:
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(path).to_table(columns=["repo"])
+            return sorted(set(pc.unique(t.column("repo")).to_pylist()))
+
+        got = ray.get([_repos_of_file.remote(p) for p, _ in misses])
+        for (p, cf), repos in zip(misses, got):
+            out[p] = repos
+            tmp = cf + f".tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(repos, f)
+            os.replace(tmp, cf)
+    return out
 
 
 def run_hashed_encode(
@@ -132,24 +176,16 @@ def run_hashed_encode(
         files_per_map = max(1, len(paths) // (2 * ncpu) or 1)
     groups = [paths[i : i + files_per_map] for i in range(0, len(paths), files_per_map)]
 
-    # metadata pre-pass: which repos live in which map group (reads the
-    # tiny dict-encoded repo column only) → pkey → contributing groups
-    @ray.remote
-    def _repos_of(paths: list[str]) -> list[str]:
-        import pyarrow.compute as pc
-        import pyarrow.dataset as pads
-
-        repos: set[str] = set()
-        for p in paths:
-            t = pads.dataset(p).to_table(columns=["repo"])
-            repos.update(pc.unique(t.column("repo")).to_pylist())
-        return sorted(repos)
-
-    # launch the heavy maps FIRST; the metadata tasks overlap them
+    # launch the heavy maps FIRST; the metadata pre-pass overlaps them
     buffer_bytes = _map_buffer_bytes()
     map_futs = {(_map_split.remote(g, plan, skip_pkeys, buffer_bytes)): gi
                 for gi, g in enumerate(groups)}
-    group_repos = ray.get([_repos_of.remote(g) for g in groups])
+    # metadata pre-pass: which repos live in which map group → pkey →
+    # contributing groups.  Served from the per-file sidecar cache that
+    # encode_job's fingerprint pass already populated — a warm run
+    # reads zero repo columns here
+    repo_sets = file_repo_sets(paths)
+    group_repos = [sorted(set().union(*(repo_sets[p] for p in g))) for g in groups]
     contrib: dict[int, set[int]] = {}
     for gi, repos in enumerate(group_repos):
         for r in repos:
@@ -157,6 +193,13 @@ def run_hashed_encode(
             for pk in range(s, s + nb):
                 if pk not in skip_pkeys:
                     contrib.setdefault(pk, set()).add(gi)
+
+    def _fp(pk: int) -> str:
+        # ship only THIS pkey's fingerprint string into its reduce task:
+        # pickling the whole per-partition dict into every call would be
+        # O(P²) bytes across the reduce wave at scale
+        return (input_fingerprint.get(pk, "")
+                if isinstance(input_fingerprint, dict) else input_fingerprint)
 
     # ray.wait-driven: launch each pkey's reduce the moment every map
     # group that can contribute to it has finished
@@ -173,7 +216,7 @@ def run_hashed_encode(
                     for r in done_maps[gi][pk]]
             if refs:
                 futs.append(_reduce_encode.remote(
-                    pk, refs, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides,
+                    pk, refs, out_dir, chunk_target_bytes, _fp(pk), codec_overrides,
                     validate,
                 ))
             launched.add(pk)
@@ -193,7 +236,7 @@ def run_hashed_encode(
                 leftovers.setdefault(pk, []).extend(refs)
     for pk, refs in sorted(leftovers.items()):
         futs.append(_reduce_encode.remote(
-            pk, refs, out_dir, chunk_target_bytes, input_fingerprint, codec_overrides,
+            pk, refs, out_dir, chunk_target_bytes, _fp(pk), codec_overrides,
             validate,
         ))
     rows = ray.get(futs)

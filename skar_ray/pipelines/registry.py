@@ -873,9 +873,12 @@ def inverted_index(sf_dir: str) -> pd.DataFrame:
     out = out.sort_values(["tok", "doc_id"]).reset_index(drop=True)
     # the SQL oracle enumerates ordinals via generate_series(1, 8192);
     # a longer document would silently truncate the ORACLE and flag a
-    # correct pipeline as wrong — fail loudly here instead
-    assert len(out) == 0 or out["first_pos"].le(8192).all(), \
-        "document exceeds the oracle's 8192-token ordinal cap (1-based)"
+    # correct pipeline as wrong — fail loudly here instead (a real
+    # raise, not an assert: python -O must not disable the guard)
+    if len(out) and not out["first_pos"].le(8192).all():
+        raise ValueError(
+            "document exceeds the oracle's 8192-token ordinal cap (1-based)"
+        )
     return out
 
 
@@ -970,11 +973,16 @@ def ann_bruteforce(sf_dir: str) -> pa.Table:
 def _ivf_index_for(sf_dir: str, n_lists: int = 8, seed: int = 42) -> str:
     """Build-once cache of the persisted IVF index for a testdata dir.
     ``build_ivf_index`` is resume-guarded (meta written last, row-count
-    checked), so repeat calls are metadata-only no-ops."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    AND input fingerprint checked), so repeat calls are metadata-only
+    no-ops; regenerated embeddings (same row count, new size/mtime)
+    force a rebuild instead of silently serving the old vectors."""
+    src = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(src)
     n = ds.count()
+    st = os.stat(src)
+    fp = f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
     idx = f"/tmp/skar_ray_ivf/{os.path.basename(os.path.normpath(sf_dir))}-n{n}-l{n_lists}-s{seed}"
-    ann_index.build_ivf_index(ds, idx, n_lists=n_lists, seed=seed)
+    ann_index.build_ivf_index(ds, idx, n_lists=n_lists, seed=seed, input_fingerprint=fp)
     return idx
 
 

@@ -262,8 +262,11 @@ def unigram_commonness(ds: "ray.data.Dataset", top_k: int | None = None) -> pd.D
             fs = pd.Series(0, index=batch.index, dtype="int64")
             if len(ex):
                 # total scorer: tokens outside the (possibly capped)
-                # vocab contribute 0 instead of raising
-                mapped = ex.map(self.freq).fillna(0).astype("int64")
+                # vocab contribute 0 instead of raising.  dict.get keeps
+                # the counts in python ints end-to-end — ex.map(dict)
+                # would surface misses as NaN and force the Series
+                # through float64, losing exactness past 2^53
+                mapped = ex.map(lambda t: self.freq.get(t, 0)).astype("int64")
                 # reindex keeps the sum in int64 end-to-end (Series.add
                 # with fill_value would round-trip through float64 and
                 # lose exactness past 2^53)

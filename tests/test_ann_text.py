@@ -148,6 +148,54 @@ def test_ivf_index_build_resumes(emb_ds, ivf_index_dir):
     assert meta["n_lists"] == 8 and meta["n_rows"] == 300
 
 
+def test_ivf_index_rebuild_sweeps_stale_lists(ray_session, tmp_path):
+    """Rebuilding into an existing index_dir must (a) not resume-skip
+    when the input fingerprint changed, and (b) sweep list partitions
+    the new assignment no longer produces — otherwise ivf_index_topk
+    (which scans ALL manifests) would serve vectors from the previous
+    build and the nprobe==n_lists exactness invariant breaks."""
+    import os
+
+    import ray.data
+
+    from skar_ray.pipelines import ann_index
+    from skar_ray.state import manifest as manifest_mod
+
+    rng = np.random.default_rng(5)
+    idx = str(tmp_path / "idx")
+    vecs_a = rng.normal(size=(200, 8)).astype(np.float32)
+    ds_a = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": range(200), "embedding": list(vecs_a)})
+    )
+    ann_index.build_ivf_index(ds_a, idx, n_lists=8, seed=3, input_fingerprint="v1")
+    assert len(manifest_mod.scan_manifests(idx)) == 8
+
+    # same row count, new content + fingerprint → REBUILD, not a resume
+    # no-op; fewer lists → ids 4..7 become orphans and must be swept
+    vecs_b = rng.normal(size=(200, 8)).astype(np.float32)
+    ds_b = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": range(200), "embedding": list(vecs_b)})
+    )
+    meta = ann_index.build_ivf_index(ds_b, idx, n_lists=4, seed=3, input_fingerprint="v2")
+    assert meta["input_fingerprint"] == "v2"
+    live = manifest_mod.scan_manifests(idx)
+    assert set(live) == {int(k) for k in meta["list_rows"]}
+    assert max(live) < 4
+    # no stale .skarc bytes on disk either
+    skarcs = {f for f in os.listdir(idx) if f.endswith(".skarc")}
+    assert skarcs == {m.data_file for m in live.values()}
+
+    # full probe over the swept index == exact brute force on the NEW data
+    res = ann_index.ivf_index_topk(idx, vecs_b[:2], k=5, nprobe=4).to_pandas()
+    want = _exact_topk(vecs_b, vecs_b[:2], 5)
+    for qi in range(2):
+        assert set(res[res.query_id == qi]["vec_id"]) == want[qi]
+
+    # unchanged fingerprint + params → resume no-op (meta returned as-is)
+    again = ann_index.build_ivf_index(ds_b, idx, n_lists=4, seed=3, input_fingerprint="v2")
+    assert again["list_rows"] == meta["list_rows"]
+
+
 def test_token_counter_matches_duckdb(ray_session):
     import duckdb
     import ray.data
