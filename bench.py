@@ -148,21 +148,27 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     fast_s = fast_bytes = None
     if not os.environ.get("SKAR_BENCH_MINIMAL"):
-        # secondary operating point: speed profile (plain content + zstd pages)
-        out2 = tempfile.mkdtemp(prefix="skar_bench_fast_")
-        try:
-            t0 = time.time()
-            s2 = run_encode_job(
-                out_dir=out2, corpus_path=corpus, target_partition_bytes=32 << 20,
-                chunk_target_bytes=16 << 20, resume=False, mode="hashed", profile="fast",
-            )
-            fast_s = round(time.time() - t0, 3)
-            import pyarrow.compute as pcf
+        # secondary operating point: speed profile (plain content + zstd
+        # pages) — best-of-N like the headline (a single sample on this
+        # host once recorded 18.8 s vs 4.7 s re-measured minutes later)
+        for rep in range(max(1, encode_repeats)):
+            out2 = tempfile.mkdtemp(prefix="skar_bench_fast_")
+            try:
+                t0 = time.time()
+                s2 = run_encode_job(
+                    out_dir=out2, corpus_path=corpus, target_partition_bytes=32 << 20,
+                    chunk_target_bytes=16 << 20, resume=False, mode="hashed", profile="fast",
+                )
+                this_s = round(time.time() - t0, 3)
+                if fast_s is None or this_s < fast_s:
+                    fast_s = this_s
+                if rep == 0:
+                    import pyarrow.compute as pcf
 
-            fast_bytes = int(pcf.sum(s2.column("enc_bytes")).as_py())
-            queries["encode_fast_profile"] = fast_s
-        finally:
-            shutil.rmtree(out2, ignore_errors=True)
+                    fast_bytes = int(pcf.sum(s2.column("enc_bytes")).as_py())
+            finally:
+                shutil.rmtree(out2, ignore_errors=True)
+        queries["encode_fast_profile"] = fast_s
 
     # representative operator timings over the driver's tables —
     # best-of-2 like the headline: single samples on this host swing
