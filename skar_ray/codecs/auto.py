@@ -96,7 +96,10 @@ def sample_of(arr: pa.Array, sample_rows: int = _SAMPLE_ROWS) -> pa.Array:
     if base.is_string_like(arr.type) and len(sample):
         import pyarrow.compute as pc
 
-        lens = np.asarray(pc.binary_length(sample)).astype(np.int64)
+        # fill_null: binary_length is null for null rows, and casting a
+        # masked float array to int64 produces garbage sentinels that
+        # break the cumsum/searchsorted cap
+        lens = np.asarray(pc.fill_null(pc.binary_length(sample), 0)).astype(np.int64)
         cum = np.cumsum(lens)
         if cum[-1] > _SAMPLE_BYTE_CAP:
             keep = int(np.searchsorted(cum, _SAMPLE_BYTE_CAP)) + 1
@@ -111,7 +114,15 @@ def select_codec(arr: pa.Array, sample_rows: int = _SAMPLE_ROWS, fsst_table=None
     fsst estimate instead of training a second table on the sample.
     """
     if len(arr) == 0:
-        return "plain", {}
+        # "plain" cannot encode nested types (map/struct): route an
+        # empty column to the type's own codec family, not a hardcoded
+        # fallback — an empty map child otherwise wrote an object-dtype
+        # payload that failed to decode
+        from .plain import PlainCodec
+
+        if PlainCodec().can_encode(arr.type):
+            return "plain", {}
+        return candidates_for(arr.type)[0], {}
     sample = sample_of(arr, sample_rows)
     names = candidates_for(arr.type)
     if base.is_string_like(arr.type) and len(sample) > 16:

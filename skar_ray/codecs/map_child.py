@@ -33,10 +33,17 @@ class MapChildCodec:
         nulls = np.packbits(mask).tobytes() if arr.null_count else b""
         offsets = np.asarray(arr.offsets, dtype=np.int64)
         lengths = np.diff(offsets)
+        # arr.keys / arr.items return the FULL child arrays even for a
+        # sliced MapArray, while arr.offsets is the slice's window of
+        # ABSOLUTE child positions — select exactly the window's entries
+        # or a Ray block split would silently encode the wrong rows'
+        # key/value pairs
         keys = arr.keys
         items = arr.items
         if arr.null_count:
-            # keep only valid rows' entries (null slots may span garbage)
+            # keep only valid rows' entries (null slots may span garbage);
+            # starts/ends are absolute child indices, so taking from the
+            # full child is slice-correct by construction
             lengths = np.where(mask, lengths, 0)
             starts, ends = offsets[:-1][mask], offsets[1:][mask]
             sel = pa.array(
@@ -45,6 +52,11 @@ class MapChildCodec:
             )
             keys = keys.take(sel)
             items = items.take(sel)
+        elif len(offsets):
+            start, end = int(offsets[0]), int(offsets[-1])
+            if start != 0 or end != len(keys):
+                keys = keys.slice(start, end - start)
+                items = items.slice(start, end - start)
         lens_payload, lens_meta = pack_ints_with_reference(lengths)
         k_codec, _ = auto.select_codec(keys)
         v_codec, _ = auto.select_codec(items)

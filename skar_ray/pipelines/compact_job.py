@@ -30,11 +30,16 @@ def run_compact_job(
     chunk_target_bytes: int = 16 << 20,
 ) -> dict:
     os.makedirs(dest_dir, exist_ok=True)
-    ds = decoded_dataset(src_dir)
+    # materialize once: the size pre-pass AND the re-encode both consume
+    # the decoded store — two lazy decoded_dataset() pipelines would
+    # decode every container twice (the dominant cost of a compaction);
+    # the materialized blocks live in the object store and spill to disk
+    # rather than paying a second full decode
+    ds = decoded_dataset(src_dir).materialize()
     sizes = partitioner.repo_size_prepass(ds, target_partition_bytes)
     plan = partitioner.make_plan(sizes, target_partition_bytes)
     fingerprint = f"compact:{src_dir}:{target_partition_bytes}"
-    keyed = decoded_dataset(src_dir).map_batches(
+    keyed = ds.map_batches(
         lambda b: partitioner.assign_pkeys(b, plan), batch_format="pyarrow"
     )
     summary = keyed.groupby("pkey").map_groups(
@@ -44,6 +49,19 @@ def run_compact_job(
     import pandas as pd  # noqa: F401
 
     out = summary.to_pandas()
+
+    # orphan sweep (same contract as run_encode_job): a re-compaction
+    # into a previously-used dest_dir can stop producing some partition
+    # ids; their stale "done" manifests would otherwise be served by
+    # every query AND pollute the digest comparison below
+    live = set(int(p) for p in out["partition_id"]) if len(out) else set()
+    for pid, m in manifest_mod.scan_manifests(dest_dir).items():
+        if pid in live:
+            continue
+        for p in (os.path.join(dest_dir, m.data_file),
+                  manifest_mod._path_for(dest_dir, pid)):
+            if os.path.exists(p):
+                os.remove(p)
 
     src_manifests = manifest_mod.scan_manifests(src_dir)
     dest_manifests = manifest_mod.scan_manifests(dest_dir)

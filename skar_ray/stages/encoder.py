@@ -195,7 +195,12 @@ def encode_partition(
         if pa.types.is_string(col.type if not isinstance(col, pa.ChunkedArray) else col.type):
             distinct = pc.unique(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
             if len(distinct) <= 64:
-                entry["distinct"] = sorted(distinct.to_pylist())
+                # drop null like container._chunk_stats: sorted() cannot
+                # compare None to str, and equality/in clauses (the only
+                # consumers) never match null anyway
+                entry["distinct"] = sorted(
+                    v for v in distinct.to_pylist() if v is not None
+                )
             elif name != "content" and len(distinct) <= 100_000:
                 # SBBF sketch over the distinct set — skar's per-folder
                 # bloom (build_parquet_idx.rs:96-115) for point lookups
@@ -258,7 +263,10 @@ def block_pid(batch: pa.Table) -> int:
     if not hashed_any:  # schema without key/content columns: hash first+last rows
         h.update(str(batch.slice(0, 1).to_pydict()).encode())
         h.update(str(batch.slice(max(0, batch.num_rows - 1), 1).to_pydict()).encode())
-    return int.from_bytes(h.digest()[:6], "big")
+    # 63 bits (int64-positive): at ~3M blocks (100 TB / 32 MiB) a 48-bit
+    # id had a ~1.6% birthday-collision chance — two blocks writing the
+    # same part-<pid> file would silently discard one of them
+    return int.from_bytes(h.digest()[:8], "big") & ((1 << 63) - 1)
 
 
 def shard_encode_batch(

@@ -54,11 +54,14 @@ def _local_group_apply(g: pd.DataFrame, keys: list[str], fn,
         # produce nothing from sub-threshold groups, and ~95% of band
         # groups are singletons — calling fn per singleton dominated
         # the reduce wall time (measured 2.9 s of an 11 s dedup)
-        sizes = g.groupby(keys, sort=False)[keys[0]].transform("size")
+        sizes = g.groupby(keys, sort=False, dropna=False)[keys[0]].transform("size")
         g = g[sizes.to_numpy() >= min_group_size]
         if len(g) == 0:
             return fn(g)
-    outs = [fn(sub) for _, sub in g.groupby(keys, sort=True)]
+    # dropna=False: SQL GROUP BY keeps a null-key group; pandas' default
+    # would silently DROP null/NaT-keyed rows from every operator built
+    # on this exchange (windows, dedup, joins)
+    outs = [fn(sub) for _, sub in g.groupby(keys, sort=True, dropna=False)]
     outs = [o for o in outs if len(o)]
     if not outs:
         return fn(g.iloc[0:0])

@@ -22,6 +22,20 @@ import ray.data
 from ..runtime import pool_size
 
 
+def _pa_type(t) -> pa.DataType:
+    """Coerce a Dataset schema type to an Arrow type: pandas-backed
+    blocks report numpy dtypes or the bare ``object`` class (strings),
+    which ``pa.nulls`` rejects."""
+    if isinstance(t, pa.DataType):
+        return t
+    import numpy as np
+
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except Exception:
+        return pa.string()
+
+
 def broadcast_join_one_to_one(
     large: "ray.data.Dataset",
     small_df: pd.DataFrame,
@@ -80,16 +94,6 @@ def bucket_hash_join(
     r_names = [n for n in right.schema().names if n != key]
     if set(l_names) & set(r_names):
         raise ValueError(f"overlapping non-key columns: {set(l_names) & set(r_names)}")
-    def _pa_type(t):
-        if isinstance(t, pa.DataType):
-            return t
-        import numpy as np
-
-        try:
-            return pa.from_numpy_dtype(np.dtype(t))
-        except Exception:
-            return pa.string()
-
     l_types = {n: _pa_type(t) for n, t in zip(left.schema().names, left.schema().types)}
     r_types = {n: _pa_type(t) for n, t in zip(right.schema().names, right.schema().types)}
     all_fields = [(key, l_types[key])] + [(n, l_types[n]) for n in l_names] + [
@@ -126,9 +130,19 @@ def bucket_hash_join(
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == "L"][[key, *l_names]]
         r = g[g["__side"] == "R"][[key, *r_names]]
-        if len(l) == 0 or len(r) == 0:
+        # SQL semantics: a NULL key matches NOTHING — pandas merge would
+        # match NaN == NaN (all nulls hash to one bucket, so they'd all
+        # co-group here and cross-join). Null-keyed left rows survive a
+        # left join unmatched; null-keyed right rows never join.
+        l_null = l[l[key].isna()]
+        l = l[l[key].notna()]
+        r = r[r[key].notna()]
+        if how == "inner" and (len(l) == 0 or len(r) == 0):
             return pd.DataFrame({name: pd.Series(dtype="object") for name, _ in all_fields})
-        return l.merge(r, on=key, how=how)
+        out = l.merge(r, on=key, how=how)
+        if how == "left" and len(l_null):
+            out = pd.concat([out, l_null], ignore_index=True)
+        return out
 
     from .groups import bucketed_group_apply
 
@@ -150,7 +164,7 @@ def bucket_anti_join(
     key rows, nothing key-set-sized on the driver."""
     l_schema = left.schema()
     l_names = [n for n in l_schema.names if n != key]
-    l_types = dict(zip(l_schema.names, l_schema.types))
+    l_types = {n: _pa_type(t) for n, t in zip(l_schema.names, l_schema.types)}
 
     def tag(side: str):
         def f(batch: pa.Table) -> pa.Table:
@@ -176,7 +190,10 @@ def bucket_anti_join(
 
     def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == "L"]
-        r_keys = g.loc[g["__side"] == "R", key]
+        # NULL keys never match (SQL NOT EXISTS): drop nulls from the
+        # probe set — Series.isin would treat right-side NaN as matching
+        # a left-side NaN and wrongly drop that left row
+        r_keys = g.loc[g["__side"] == "R", key].dropna()
         return l.loc[~l[key].isin(r_keys), [key, *l_names]]
 
     from .groups import bucketed_group_apply
@@ -214,10 +231,17 @@ def broadcast_interval_join(
             f"{max_intervals}); bucket by value range and co-group instead "
             "of broadcasting an (n_rows x n_intervals) mask this wide"
         )
+    def _cmp_arr(s: pd.Series) -> "np.ndarray":
+        # keep native integer/float dtypes — forcing float64 would round
+        # int64 values past 2^53 into the wrong interval; only non-numeric
+        # (object/nullable) columns fall back to the float domain
+        a = s.to_numpy()
+        return a if a.dtype.kind in "iuf" else s.to_numpy(dtype=np.float64)
+
     iv = intervals_df.reset_index(drop=True)
     ref = ray.put((
-        iv[lo_col].to_numpy(dtype=np.float64),
-        iv[hi_col].to_numpy(dtype=np.float64),
+        _cmp_arr(iv[lo_col]),
+        _cmp_arr(iv[hi_col]),
         iv.drop(columns=[lo_col, hi_col]),
     ))
 
@@ -226,7 +250,8 @@ def broadcast_interval_join(
             self.lo, self.hi, self.meta = ray.get(ref)  # once per actor
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            v = batch[value_col].to_numpy(dtype=np.float64)
+            a = batch[value_col].to_numpy()
+            v = a if a.dtype.kind in "iuf" else batch[value_col].to_numpy(dtype=np.float64)
             mask = (v[:, None] >= self.lo) & (v[:, None] < self.hi)
             li, ri = np.nonzero(mask)
             left = batch.iloc[li].reset_index(drop=True)

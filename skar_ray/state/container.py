@@ -242,22 +242,62 @@ def encoded_clause_mask(blob: bytes, cm: dict, op: str, value) -> "np.ndarray | 
     if cm["codec"] == "for_bitpack" and op in ("==", "!=", "in", ">=", ">", "<=", "<"):
         if not isinstance(value, (int, float, list, tuple, set)) or isinstance(value, bool):
             return None
+
+        INT64_MIN, INT64_MAX = -(1 << 63), (1 << 63) - 1
+
+        def _exact_int(v):
+            """int64-exact coercion; None = cannot equal any stored value.
+            The decoded stream is int64 (uint64 overflow is rejected at
+            encode), so comparing against a silently-truncated float
+            (np.int64(3.5) == 3) would MATCH rows the decode path
+            correctly rejects — coerce exactly or not at all."""
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise TypeError
+            if isinstance(v, float):
+                if not v.is_integer():
+                    return None
+                v = int(v)
+            return v if INT64_MIN <= v <= INT64_MAX else None
+
         payload = auto.page_decompress(blob, cm["page"], cm["payload_len"])
         _nulls, body = cbase.unpack_sections(payload)
         vals = unpack_ints_with_reference(body, meta, n)
-        if op == "==":
-            return vals == value
-        if op == "!=":
-            return vals != value
         if op == "in":
-            return np.isin(vals, np.array(sorted(value), dtype=np.int64))
+            try:
+                ints = [c for c in (_exact_int(v) for v in value) if c is not None]
+            except TypeError:
+                return None  # non-numeric element: decode-and-compare
+            if not ints:
+                return np.zeros(n, dtype=bool)
+            return np.isin(vals, np.array(sorted(ints), dtype=np.int64))
+        if op in ("==", "!="):
+            try:
+                c = _exact_int(value)
+            except TypeError:
+                return None
+            if c is None:  # e.g. 3.5: equals no int64 row
+                return np.ones(n, dtype=bool) if op == "!=" else np.zeros(n, dtype=bool)
+            return vals != c if op == "!=" else vals == c
+        # range ops: a non-integral float threshold maps to the exact
+        # integer comparison (vals >= 3.5 ⟺ vals > 3); out-of-range
+        # thresholds fall back to decode-and-compare
+        import math
+
+        if isinstance(value, float) and not value.is_integer():
+            f = math.floor(value)
+            if not (INT64_MIN <= f <= INT64_MAX):
+                return None
+            return (vals > f) if op in (">=", ">") else (vals <= f)
+        c = _exact_int(value)
+        if c is None:
+            return None
         if op == ">=":
-            return vals >= value
+            return vals >= c
         if op == ">":
-            return vals > value
+            return vals > c
         if op == "<=":
-            return vals <= value
-        return vals < value
+            return vals <= c
+        return vals < c
     if cm["codec"] not in ("dict", "rle"):
         return None
     payload = auto.page_decompress(blob, cm["page"], cm["payload_len"])

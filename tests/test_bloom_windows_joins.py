@@ -106,6 +106,53 @@ def test_bucket_hash_join(ray_session):
     assert out["b"].tolist() == [20, 30, 31]
 
 
+def test_bucket_joins_null_keys_sql_semantics(ray_session):
+    """SQL semantics: a NULL key matches NOTHING.  pandas merge/isin
+    treat NaN == NaN as a match (and polars hashes all nulls to one
+    bucket, co-grouping them), so without explicit handling an inner
+    join emits null-key pairs and an anti-join wrongly drops null-keyed
+    left rows — regression for both."""
+    import ray.data
+
+    from skar_ray.stages.joins import bucket_anti_join, bucket_hash_join
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1.0, None, 2.0, None], "a": ["w", "x", "y", "z"]}
+    ))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": [2.0, None, 5.0], "b": [20, 99, 50]}
+    ))
+    out = bucket_hash_join(left, right, "k", n_buckets=4).to_pandas()
+    # only the k=2 pair: the two null-key sides must NOT join
+    assert len(out) == 1 and out["a"].tolist() == ["y"] and out["b"].tolist() == [20]
+
+    anti = bucket_anti_join(left, right, key="k").to_pandas()
+    # null-keyed left rows match nothing -> they SURVIVE the anti join
+    assert sorted(anti["a"]) == ["w", "x", "z"]
+
+
+def test_bucketed_group_apply_keeps_null_keys(ray_session):
+    """SQL GROUP BY keeps a null-key group; pandas groupby's default
+    dropna=True silently dropped those rows from every operator built
+    on the shared exchange — regression."""
+    import ray.data
+
+    from skar_ray.stages.groups import bucketed_group_apply
+
+    df = pd.DataFrame({"g": ["a", None, "a", None, "b"], "v": [1, 2, 3, 4, 5]})
+
+    def agg(sub: pd.DataFrame) -> pd.DataFrame:
+        if len(sub) == 0:
+            return pd.DataFrame({"g": pd.Series(dtype="object"), "s": pd.Series(dtype="int64")})
+        return pd.DataFrame({"g": [sub["g"].iloc[0]], "s": [int(sub["v"].sum())]})
+
+    out = bucketed_group_apply(
+        ray.data.from_pandas(df), ["g"], agg
+    ).to_pandas()
+    got = {(None if pd.isna(r.g) else r.g): int(r.s) for r in out.itertuples()}
+    assert got == {"a": 4, "b": 5, None: 6}
+
+
 def test_asof_join(events_ds, ray_session):
     import ray.data
 

@@ -236,3 +236,21 @@ def test_map_child_roundtrip():
     arr2 = pa.array([[("x", "y")], [("k", "v"), ("k2", "v2")]], type=t2)
     e2 = auto.encode_column(arr2)
     assert auto.decode_column(e2.blob, e2.meta, e2.page, e2.payload_len).equals(arr2)
+
+
+def test_map_child_sliced_roundtrip():
+    """A sliced MapArray (any Ray block split / Table.slice) must encode
+    the WINDOW's entries: arr.keys/items return the full child while
+    arr.offsets is the slice — regression for silent wrong-pairs data."""
+    from skar_ray.codecs import auto
+
+    t = pa.map_(pa.string(), pa.int64())
+    m = pa.array([[("a", 1)], [("b", 2)], [("c", 3)], [("d", 4)]], type=t)
+    mn = pa.array([[("a", 1)], None, [("c", 3)], [("d", 4)], []], type=t)
+    # pa.array([], t) also covers the empty-nested-column path: plain
+    # cannot encode map, so select_codec must route to map_child
+    for arr in [m.slice(1, 2), m.slice(2), m.slice(0, 0), pa.array([], type=t),
+                mn.slice(1, 3), mn.slice(3)]:
+        e = auto.encode_column(arr)
+        got = auto.decode_column(e.blob, e.meta, e.page, e.payload_len)
+        assert got.to_pylist() == arr.to_pylist(), (got.to_pylist(), arr.to_pylist())

@@ -64,3 +64,35 @@ def test_json_source_ingestion(ray_session, tmp_path):
     assert summary["n_rows"].sum() == 300
     dec = decoded_dataset(out, verify=True)
     assert dec.count() == 300
+
+
+def test_recompact_sweeps_stale_dest_partitions(ray_session):
+    """Re-compacting a DIFFERENT (smaller) source into a previously-used
+    dest_dir must sweep partition ids the new plan no longer produces —
+    stale 'done' manifests would otherwise be served by every query and
+    poison the digest comparison (same contract as run_encode_job)."""
+    src_big = "/tmp/skar_pytest_recompact_src_big"
+    src_small = "/tmp/skar_pytest_recompact_src_small"
+    dst = "/tmp/skar_pytest_recompact_dst"
+    for p in (src_big, src_small, dst):
+        shutil.rmtree(p, ignore_errors=True)
+
+    big = os.path.join(ensure_corpus(2000), "corpus.parquet")
+    small = os.path.join(ensure_corpus(500), "corpus.parquet")
+    run_encode_job(big, src_big, target_partition_bytes=1 << 20, chunk_target_bytes=1 << 20)
+    run_encode_job(small, src_small, target_partition_bytes=1 << 20, chunk_target_bytes=1 << 20)
+
+    r1 = run_compact_job(src_big, dst, target_partition_bytes=8 << 20, chunk_target_bytes=4 << 20)
+    assert r1["rows_match"] and r1["digests_match"] is True
+
+    r2 = run_compact_job(src_small, dst, target_partition_bytes=8 << 20, chunk_target_bytes=4 << 20)
+    assert r2["rows_match"], r2
+    assert r2["digests_match"] is True, r2  # stale big-corpus partitions swept
+    ms = manifest_mod.scan_manifests(dst)
+    assert len(ms) == r2["dest_partitions"]
+    files = {f for f in os.listdir(dst) if f.endswith(".skarc")}
+    assert files == {m.data_file for m in ms.values()}
+    v = run_verify_job(small, dst)
+    assert v["rows_match"] and v["digests_verified"]
+    for p in (src_big, src_small, dst):
+        shutil.rmtree(p, ignore_errors=True)

@@ -367,3 +367,25 @@ def test_reencode_with_shrunk_corpus_sweeps_orphans(ray_session, tmp_path):
     assert files == {m.data_file for m in ms.values()}
     v = run_verify_job(small, out)
     assert v["rows_match"] and v["digests_verified"]
+
+
+def test_encode_partition_nullable_lowcard_string(tmp_path):
+    """Regression: a null in a low-cardinality string column crashed the
+    pruning-stats block (sorted() comparing None to str) AFTER the
+    container was written — the manifest never published, so the
+    partition re-encoded and re-crashed forever on resume."""
+    from skar_ray.stages.encoder import encode_partition
+    from skar_ray.state import container, manifest as mm
+
+    t = pa.table({
+        "repo": ["r1", "r1", "r1"],
+        "path": ["a.py", "b.py", "c.py"],
+        "commit": ["c" * 40] * 3,
+        "lang": pa.array(["py", None, "py"]),
+        "content": ["x = 1", "y = 2", "z = 3"],
+    })
+    s = encode_partition(t, str(tmp_path), 1 << 20)
+    assert s.num_rows == 1
+    m = mm.scan_manifests(str(tmp_path))[0]
+    got = container.read_container(os.path.join(str(tmp_path), m.data_file))
+    assert got.sort_by("path").equals(t.sort_by("path"))

@@ -105,6 +105,40 @@ def test_clause_possible_numeric_typed():
     assert clause_possible(legacy, "in", [500])
 
 
+def test_encoded_clause_mask_float_exactness():
+    """Regression: float clause values on a for_bitpack int chunk were
+    silently truncated to int64 (np.int64(3.5)==3 matched rows the
+    decode path rejects).  The encoded form must be int64-EXACT: a
+    non-integral float equals no row, range ops map to the equivalent
+    integer comparison, non-numeric sets fall back (None)."""
+    import pyarrow as pa
+
+    from skar_ray.codecs import auto
+    from skar_ray.codecs.base import encode_array
+    from skar_ray.state import container
+
+    arr = pa.array([1, 2, 3, 4, 5, 3], type=pa.int64())
+    payload, meta = encode_array(arr, "for_bitpack")
+    blob, page = auto.page_compress(payload)
+    cm = {"codec": "for_bitpack", "meta": {**meta, "n": len(arr)},
+          "page": page, "payload_len": len(payload)}
+
+    def m(op, v):
+        r = container.encoded_clause_mask(blob, cm, op, v)
+        return None if r is None else r.tolist()
+
+    assert m("in", [3.5]) == [False] * 6
+    assert m("in", [3.0, 5]) == [False, False, True, False, True, True]
+    assert m("in", [2 ** 64]) == [False] * 6      # out of int64: matches nothing
+    assert m("==", 3.5) == [False] * 6
+    assert m("!=", 3.5) == [True] * 6
+    assert m("==", 3.0) == [False, False, True, False, False, True]
+    assert m(">=", 3.5) == m(">", 3.5) == [False, False, False, True, True, False]
+    assert m("<=", 3.5) == m("<", 3.5) == [True, True, True, False, False, True]
+    assert m(">=", 3) == [False, False, True, True, True, True]
+    assert m("in", ["x"]) is None                 # non-numeric: decode fallback
+
+
 def test_minmax_stat_typed():
     import pyarrow as pa
 
