@@ -77,13 +77,18 @@ def in_set_pair(sf_dir: str) -> "ray.data.Dataset":
         lambda t: t.filter(pc.less(t["l_partkey"], 10)).select(["l_orderkey", "l_linenumber"]),
         batch_format="pyarrow",
     ).to_pandas()
+    # stride 2^32 keeps the zip injective for any l_linenumber < 2^32
+    # (a stride of 16 would silently collide if a regenerated fixture
+    # ever exceeded 15 lines per order); orderkey < 2^31 keeps the sum
+    # inside int64
+    _STRIDE = 1 << 32
     key_set = pa.array(
-        (keys["l_orderkey"].to_numpy().astype(np.int64) * 16 + keys["l_linenumber"].to_numpy()).tolist(),
+        (keys["l_orderkey"].to_numpy().astype(np.int64) * _STRIDE + keys["l_linenumber"].to_numpy()).tolist(),
         type=pa.int64(),
     )
 
     def probe(t: pa.Table) -> pa.Table:
-        zipped = pc.add(pc.multiply(t["l_orderkey"], pa.scalar(16, type=pa.int64())), pc.cast(t["l_linenumber"], pa.int64()))
+        zipped = pc.add(pc.multiply(t["l_orderkey"], pa.scalar(_STRIDE, type=pa.int64())), pc.cast(t["l_linenumber"], pa.int64()))
         return t.filter(pc.is_in(zipped, value_set=key_set)).select(
             ["l_orderkey", "l_linenumber", "l_quantity"]
         )

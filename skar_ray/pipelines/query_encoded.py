@@ -53,29 +53,10 @@ def prune_partitions(manifests: dict[int, manifest_mod.PartitionManifest], dnf: 
     return keep
 
 
-def _clause_compute(a, op: str, value):
-    """One DNF clause as a pyarrow.compute boolean mask."""
-    if op == "==":
-        return pc.equal(a, value)
-    if op == "!=":
-        return pc.not_equal(a, value)
-    if op == "in":
-        if not value:
-            # empty set matches nothing; pa.array([]) is null-typed and
-            # is_in against a typed column would raise
-            return pa.array([False] * len(a))
-        return pc.is_in(a, value_set=pa.array(sorted(value)))
-    if op == ">=":
-        return pc.greater_equal(a, value)
-    if op == ">":
-        return pc.greater(a, value)
-    if op == "<=":
-        return pc.less_equal(a, value)
-    if op == "<":
-        return pc.less(a, value)
-    if op == "prefix":
-        return pc.starts_with(a, pattern=value)
-    raise ValueError(f"unknown op {op}")
+# single op-dispatch table for DNF clauses, shared with the encoded-form
+# evaluators (state/pruning.clause_compute) — kept under the old name for
+# in-package consumers (stats.py)
+from ..state.pruning import clause_compute as _clause_compute
 
 
 def _apply_dnf(t: pa.Table, dnf: DNF) -> pa.Table:
@@ -90,6 +71,21 @@ def _apply_dnf(t: pa.Table, dnf: DNF) -> pa.Table:
     for m in masks[1:]:
         mask = pc.or_kleene(mask, m)
     return t.filter(mask)
+
+
+def _typed_empty(out_dir: str, manifests: dict, columns: list[str] | None) -> pa.Table:
+    """Zero-row table with the store's real column types (schema from
+    any container header) so downstream column ops / concat still work
+    — shared by query_encoded and the budgeted pager."""
+    from ..codecs import base as cbase
+    from ..state import container as container_mod
+
+    any_m = next(iter(manifests.values()))
+    header, _ = container_mod.read_header(os.path.join(out_dir, any_m.data_file))
+    schema = [(n, cbase.type_from_name(t)) for n, t in header["schema"]]
+    want = columns or [n for n, _ in schema]
+    types = dict(schema)
+    return pa.table({n: pa.chunked_array([], type=types[n]) for n in want})
 
 
 def query_encoded_budgeted(
@@ -120,7 +116,10 @@ def query_encoded_budgeted(
     pids = [p for p in prune_partitions(manifests, filters) if cursor is None or p >= cursor]
     want_cols = columns
     if not pids:
-        return pa.table({}), None
+        # typed empty (like query_encoded): a paging caller concatenating
+        # pages must not hit a schema mismatch on an all-pruned store
+        return (_typed_empty(out_dir, manifests, want_cols)
+                if manifests else pa.table({})), None
     rows = [
         {
             "partition_id": pid,
@@ -187,7 +186,7 @@ def query_encoded_budgeted(
     if prefix:
         out = pa.concat_tables(prefix)
     else:
-        out = pa.table({})
+        out = _typed_empty(out_dir, manifests, want_cols) if manifests else pa.table({})
     return out, next_cursor
 
 
@@ -208,16 +207,7 @@ def query_encoded(
     if not pids and manifests:
         # everything pruned: return a TYPED empty result (schema from any
         # container header) so downstream column operations still work
-        from ..codecs import base as cbase
-        from ..state import container as container_mod
-
-        any_m = next(iter(manifests.values()))
-        header, _ = container_mod.read_header(os.path.join(out_dir, any_m.data_file))
-        schema = [(n, cbase.type_from_name(t)) for n, t in header["schema"]]
-        want = columns or [n for n, _ in schema]
-        types = dict(schema)
-        empty = pa.table({n: pa.chunked_array([], type=types[n]) for n in want})
-        return ray.data.from_arrow(empty)
+        return ray.data.from_arrow(_typed_empty(out_dir, manifests, columns))
     rows = [
         {
             "partition_id": pid,

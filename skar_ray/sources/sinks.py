@@ -25,7 +25,18 @@ def write_arrow_ipc(table_or_ds, path: str) -> int:
     /query/arrow-ipc response body, minus the Cap'n Proto envelope).
     For small/aggregate results — a Dataset is materialized."""
     if isinstance(table_or_ds, ray.data.Dataset):
-        table = pa.Table.from_pandas(table_or_ds.to_pandas())
+        # stay in Arrow: to_pandas() would retype nullable int64 to
+        # float64 (corrupting values past 2^53) and downgrade
+        # large_string — the sink's round-trip contract is bit-fidelity
+        import ray as _ray
+
+        blocks = [
+            b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+            for b in _ray.get(table_or_ds.to_arrow_refs())
+        ]
+        blocks = [b for b in blocks if b.num_rows]
+        table = pa.concat_tables(blocks, promote_options="default") if blocks \
+            else pa.Table.from_pandas(table_or_ds.to_pandas())
     else:
         table = table_or_ds
     options = ipc.IpcWriteOptions(compression="zstd")

@@ -184,35 +184,16 @@ def read_header(path: str) -> tuple[dict, int]:
 
 
 def _dict_value_mask(dict_vals: pa.Array, op: str, value) -> "np.ndarray":
-    """Boolean mask over the (small) dictionary values for any DNF op."""
+    """Boolean mask over the (small) dictionary values for any DNF op —
+    the same dispatch as the decode path (pruning.clause_compute), so
+    dict/rle-coded chunks can never evaluate an op differently from
+    other codecs."""
     import numpy as np
     import pyarrow.compute as pc
 
-    if op == "==":
-        m = pc.equal(dict_vals, value)
-    elif op == "!=":
-        m = pc.not_equal(dict_vals, value)
-    elif op == "in":
-        if not value:
-            # empty set matches nothing; pa.array([]) is null-typed and
-            # is_in against a typed dictionary would raise (mirrors the
-            # _clause_compute guard — this path only runs when a column
-            # has no prunable stats, so clause_possible can't shield it)
-            return np.zeros(len(dict_vals), dtype=bool)
-        m = pc.is_in(dict_vals, value_set=pa.array(sorted(value)))
-    elif op == ">=":
-        m = pc.greater_equal(dict_vals, value)
-    elif op == ">":
-        m = pc.greater(dict_vals, value)
-    elif op == "<=":
-        m = pc.less_equal(dict_vals, value)
-    elif op == "<":
-        m = pc.less(dict_vals, value)
-    elif op == "prefix":
-        m = pc.starts_with(dict_vals, pattern=value)
-    else:
-        raise ValueError(f"unknown op {op}")
-    return np.asarray(pc.fill_null(m, False))
+    from .pruning import clause_compute
+
+    return np.asarray(pc.fill_null(clause_compute(dict_vals, op, value), False))
 
 
 def encoded_clause_mask(blob: bytes, cm: dict, op: str, value) -> "np.ndarray | None":
@@ -514,9 +495,9 @@ def read_container(path: str, columns: list[str] | None = None,
                         if m is not None:
                             return m
                     arr = col_decoded(col)
-                    from ..pipelines.query_encoded import _clause_compute
+                    from .pruning import clause_compute
 
-                    return np.asarray(pc.fill_null(_clause_compute(arr, op, value), False))
+                    return np.asarray(pc.fill_null(clause_compute(arr, op, value), False))
 
                 mask = None
                 for conj in dnf_exact:

@@ -6,6 +6,38 @@ data_provider.rs:250-333), conservative: unknown stats ⇒ possible."""
 from __future__ import annotations
 
 
+def clause_compute(a, op: str, value):
+    """One DNF clause as a pyarrow.compute boolean mask — the single op
+    dispatch shared by the decode-and-compare path (_apply_dnf), the
+    dict/rle encoded-form evaluator (_dict_value_mask) and the pushdown
+    aggregates.  One table: adding an op in one consumer but not the
+    others would split behavior by codec."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if op == "==":
+        return pc.equal(a, value)
+    if op == "!=":
+        return pc.not_equal(a, value)
+    if op == "in":
+        if not value:
+            # empty set matches nothing; pa.array([]) is null-typed and
+            # is_in against a typed column would raise
+            return pa.array([False] * len(a))
+        return pc.is_in(a, value_set=pa.array(sorted(value)))
+    if op == ">=":
+        return pc.greater_equal(a, value)
+    if op == ">":
+        return pc.greater(a, value)
+    if op == "<=":
+        return pc.less_equal(a, value)
+    if op == "<":
+        return pc.less(a, value)
+    if op == "prefix":
+        return pc.starts_with(a, pattern=value)
+    raise ValueError(f"unknown op {op}")
+
+
 def minmax_stat(col) -> dict:
     """Typed min/max stats entry for pruning: tag ``"s"`` for strings
     (truncated, U+10FFFF upper-bound sentinel) / ``"n"`` for numerics

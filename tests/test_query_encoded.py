@@ -552,3 +552,21 @@ def test_actor_and_task_decode_paths_agree(encoded, monkeypatch):
         )
     assert len(outs["task"]) > 0
     assert outs["task"].equals(outs["actor"])
+
+
+def test_budgeted_empty_pages_are_typed(encoded):
+    """Empty budgeted pages (all-pruned store, or a pruning filter with
+    a cursor past the end) must carry the store's real column types so
+    a paging caller can pa.concat_tables typed and empty pages freely —
+    regression: pa.table({}) raised a schema mismatch on concat."""
+    from skar_ray.pipelines.query_encoded import query_encoded_budgeted
+
+    # a filter no partition can satisfy: everything prunes
+    t, cur = query_encoded_budgeted(
+        OUT, columns=["repo", "path"], filters=[[("repo", "==", "no-such-repo")]]
+    )
+    assert cur is None and t.num_rows == 0
+    assert t.column_names == ["repo", "path"]
+    nonempty, _ = query_encoded_budgeted(OUT, columns=["repo", "path"])
+    merged = pa.concat_tables([t, nonempty])  # must not raise
+    assert merged.num_rows == nonempty.num_rows

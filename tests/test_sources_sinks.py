@@ -92,3 +92,27 @@ def test_read_arrow_ipc_source_roundtrip(ray_session, tmp_path):
     back = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     assert back.column("x").to_pylist() == [1, 2, 3]
     assert back.column("s").to_pylist() == ["a", "b", None]
+
+
+def test_write_arrow_ipc_dataset_branch_fidelity(ray_session, tmp_path):
+    """The Dataset branch must stay in Arrow: a pandas round-trip
+    retypes nullable int64 to float64 (corrupting values past 2^53) and
+    downgrades large_string — regression."""
+    import ray
+
+    from skar_ray.sources.readers import read_arrow_ipc
+
+    big = 4611686018427400249  # not representable in float64
+    t = pa.table({
+        "a": pa.array([big, None, 7], type=pa.int64()),
+        "s": pa.array(["x", "y", "z"], type=pa.large_string()),
+    })
+    p = str(tmp_path / "ds.arrow")
+    write_arrow_ipc(ray.data.from_arrow(t), p)
+    back = read_arrow_ipc(p)
+    tb = back if isinstance(back, pa.Table) else pa.concat_tables(
+        ray.get(back.to_arrow_refs())
+    )
+    assert tb.column("a").to_pylist() == [big, None, 7]
+    assert tb.schema.field("a").type == pa.int64()
+    assert tb.schema.field("s").type == pa.large_string()
