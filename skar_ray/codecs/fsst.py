@@ -47,25 +47,37 @@ _MAX_LEN = 16
 
 
 def _window_counts(w: np.ndarray, L: int) -> tuple[np.ndarray, np.ndarray]:
-    """(first_index, count) per distinct window row — np.unique on a
-    uint64 KEY instead of an L-byte void view: the int sort is ~10×
+    """(first_index, count) per distinct window row — integer-keyed
+    grouping instead of an L-byte void view: the int sort is ~10×
     faster than void lexicographic compares (measured 0.035 s → 0.004 s
     per length on the 128 KiB training sample).  L ≤ 8 packs the bytes
-    losslessly; longer windows use an FNV-style rolling hash whose
-    collision odds over ≤512K windows are ~1e-9 (a collision merges two
-    counts; the symbol BYTES stay exact via the representative index,
-    and refine_symbols re-validates every candidate's realized gain on
-    the sample anyway)."""
+    losslessly into one uint64 key; 8 < L ≤ 16 packs into TWO uint64
+    words and groups via a stable two-key lexsort — still exact (a
+    prior FNV rolling hash here had ~1e-9 collision odds that could
+    merge two windows' counts; this keeps the speed without the odds)."""
     if L <= 8:
         pad = np.zeros((len(w), 8), dtype=np.uint8)
         pad[:, :L] = w
         key = pad.view(np.uint64).ravel()
-    else:
-        m = np.uint64(0x100000001B3)
-        key = np.zeros(len(w), dtype=np.uint64)
-        for i in range(L):
-            key = key * m + w[:, i].astype(np.uint64)
-    _, idx, counts = np.unique(key, return_index=True, return_counts=True)
+        _, idx, counts = np.unique(key, return_index=True, return_counts=True)
+        return idx, counts
+    if L > 16:
+        raise ValueError(f"window length {L} > 16 unsupported")
+    pad = np.zeros((len(w), 16), dtype=np.uint8)
+    pad[:, :L] = w
+    k = pad.view(np.uint64).reshape(-1, 2)
+    k1, k2 = k[:, 0], k[:, 1]
+    order = np.lexsort((k2, k1))  # stable: first index per group survives
+    s1, s2 = k1[order], k2[order]
+    new = np.empty(len(order), dtype=bool)
+    new[0] = True
+    new[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(order)))
+    # lexsort is stable, but ties keep ORIGINAL order only within equal
+    # (k1,k2) groups — order[starts] is the group's lowest original
+    # index, matching np.unique(return_index=True) semantics
+    idx = order[starts]
     return idx, counts
 
 
