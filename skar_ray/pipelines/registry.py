@@ -502,6 +502,26 @@ def fingerprint_rolling(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "rolling_fp"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def chunk_documents(sf_dir: str) -> pd.DataFrame:
+    """Context-window chunking: overlapping 128-char chunks at stride
+    96 — one doc fans out to ceil(n_chars/96) rows (flat-map shape)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(text.Chunker, batch_format="pandas", concurrency=pool_size()).to_pandas()
+    # the SQL oracle enumerates chunk ordinals via generate_series(0, 15);
+    # a longer document would silently truncate the ORACLE — fail loudly
+    # here instead (same guard as inverted_index)
+    if len(out) and int(out["chunk_id"].max()) > 15:
+        raise ValueError("document needs > 16 chunks; raise the oracle series cap")
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Tokens holding ≥ 1/30 of the corpus token mass, exact counts via
+    Misra-Gries partials + candidate recount (see stages/text.py)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return text.heavy_hitters(ds, frac_num=1, frac_den=30)
+
+
 def lang_id(sf_dir: str) -> pd.DataFrame:
     out = _docs(sf_dir).map_batches(text.LangId, batch_format="pandas", concurrency=pool_size()).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -1472,6 +1492,27 @@ QUERIES: dict[str, tuple] = {
         r"SELECT token, count(*) AS n FROM ("
         r" SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)"
         r" GROUP BY token ORDER BY n DESC, token LIMIT 50",
+    ),
+    "chunk_documents": (
+        chunk_documents,
+        # same stride-96 / size-128 character chunking; substring and
+        # length are character-based on both sides (corpus is ASCII)
+        "SELECT doc_id, CAST(gs.i AS BIGINT) AS chunk_id,"
+        " substring(text, CAST(gs.i * 96 + 1 AS INTEGER), 128) AS chunk_text,"
+        " CAST(length(substring(text, CAST(gs.i * 96 + 1 AS INTEGER), 128)) AS BIGINT)"
+        "  AS n_chunk_chars"
+        " FROM documents CROSS JOIN generate_series(0, 15) gs(i)"
+        " WHERE gs.i * 96 < length(text)",
+    ),
+    "heavy_hitters": (
+        heavy_hitters,
+        # exact integer threshold on both sides: T = (total + 29) // 30
+        r"WITH toks AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS token"
+        r" FROM documents),"
+        r"tot AS (SELECT count(*) AS n FROM toks),"
+        r"cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token) "
+        r"SELECT token, CAST(c AS BIGINT) AS n FROM cnt, tot"
+        r" WHERE c >= (tot.n + 29) // 30",
     ),
     # windows (stream-shaped, order-insensitive aggregates)
     "tumbling_window": (

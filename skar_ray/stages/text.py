@@ -298,3 +298,145 @@ def length_quantile_stats(ds: "ray.data.Dataset") -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["lang", "n", "median_chars", "p90_chars"]
     ).sort_values("lang").reset_index(drop=True).astype({"n": "int64"})
+
+
+class Chunker:
+    """Overlapping fixed-size character chunks — the context-window
+    chunking step a training pipeline runs before tokenization.  One
+    input row fans out to ceil(n_chars / stride) rows, so this is the
+    flat-map shape: chunk starts are 0, stride, 2·stride, … while
+    start < n_chars (an empty document yields no chunks).  Vectorized
+    as one ``str.slice`` per offset (chunk count per doc is small and
+    bounded), not a per-row loop.  Offsets are CHARACTER-based to match
+    DuckDB ``substring``/``length`` semantics in the oracle.  Reference
+    analog: the fixed-row-count chunk slicing of the write path,
+    /root/reference/skar/src/write_parquet.rs:118-156."""
+
+    def __init__(self, size: int = 128, overlap: int = 32):
+        if not 0 <= overlap < size:
+            raise ValueError("need 0 <= overlap < size")
+        self.size = size
+        self.stride = size - overlap
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].reset_index(drop=True)
+        ids = batch["doc_id"].reset_index(drop=True).astype("int64")
+        n = texts.str.len().to_numpy(dtype=np.int64)
+        outs = []
+        start, i = 0, 0
+        while True:
+            m = n > start
+            if not m.any():
+                break
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": ids[m],
+                        "chunk_id": np.int64(i),
+                        "chunk_text": texts[m].str.slice(start, start + self.size),
+                    }
+                )
+            )
+            start += self.stride
+            i += 1
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "chunk_id": pd.Series([], dtype="int64"),
+                    "chunk_text": pd.Series([], dtype="object"),
+                    "n_chunk_chars": pd.Series([], dtype="int64"),
+                }
+            )
+        out = pd.concat(outs, ignore_index=True)
+        out["n_chunk_chars"] = out["chunk_text"].str.len().astype("int64")
+        return out
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    frac_num: int = 1,
+    frac_den: int = 100,
+    k: int | None = None,
+) -> pd.DataFrame:
+    """EXACT counts of every token with global count ≥
+    ceil(total·frac_num/frac_den), without ever shuffling the full
+    vocabulary: per-batch Misra-Gries summaries (k counters — an exact
+    batch count pruned by subtracting the (k+1)-th largest, the optimal
+    MG summary of the batch, error ≤ n_b/(k+1)) are merged driver-side
+    (k+1 metadata rows per batch), candidates = summed estimates within
+    the accumulated decrement bound of the threshold, then ONE exact
+    recount pass restricted to the broadcast candidate set.  Mergeable-
+    summary guarantee (Agarwal et al., Mergeable Summaries, PODS'12):
+    with k+1 > frac_den/frac_num the total decrement E < T, so no true
+    heavy hitter can be missing from every partial.  Threshold
+    arithmetic is integer-exact on both sides of the oracle:
+    T = (total·frac_num + frac_den − 1) // frac_den.
+    Reference analog: the distinct-value-set index build that feeds
+    query pruning, /root/reference/skar/src/build_parquet_idx.rs:89-166."""
+    import ray
+
+    if k is None:
+        k = max(64, 2 * ((frac_den + frac_num - 1) // frac_num))
+    if k + 1 <= frac_den // frac_num:
+        raise ValueError(f"k={k} too small for threshold {frac_num}/{frac_den}")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = batch["text"].str.findall(_TOKEN_RE).explode().dropna()
+        vc = ex.value_counts()  # exact batch counts, descending
+        n_b = int(vc.sum())
+        dec = 0
+        if len(vc) > k:
+            dec = int(vc.iloc[k])
+            vc = vc.iloc[:k] - dec
+            vc = vc[vc > 0]
+        # sentinel row ("" can never be a \S+ token) carries the batch
+        # token total and the decrement, so the driver can bound the
+        # global underestimate by E = Σ dec_b
+        return pd.DataFrame(
+            {
+                "token": np.append(vc.index.to_numpy(dtype=object), ""),
+                "est": np.append(vc.to_numpy(dtype=np.int64), n_b),
+                "dec": np.append(np.zeros(len(vc), dtype=np.int64), dec),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    sent = parts["token"] == ""
+    total = int(parts.loc[sent, "est"].sum())
+    err = int(parts.loc[sent, "dec"].sum())
+    threshold = (total * frac_num + frac_den - 1) // frac_den
+    if total and err >= threshold:
+        raise ValueError(
+            f"decrement bound {err} >= threshold {threshold}: k={k} too small"
+        )
+    est = parts.loc[~sent].groupby("token")["est"].sum()
+    cand = est[est >= threshold - err]
+    cand_set = ray.put(set(cand.index))
+
+    class Recount:
+        def __init__(self, ref):
+            self.cand = ray.get(ref)  # fetched once per worker
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ex = batch["text"].str.findall(_TOKEN_RE).explode().dropna()
+            vc = ex[ex.isin(self.cand)].value_counts()
+            return pd.DataFrame(
+                {"token": vc.index.to_numpy(dtype=object), "n": vc.to_numpy(np.int64)}
+            )
+
+    from ..runtime import pool_size
+
+    exact = (
+        ds.map_batches(
+            Recount,
+            fn_constructor_args=(cand_set,),
+            batch_format="pandas",
+            concurrency=pool_size(),
+        )
+        .to_pandas()
+        .groupby("token", as_index=False)["n"]
+        .sum()
+    )
+    out = exact[exact["n"] >= threshold].astype({"n": "int64"})
+    return out.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)

@@ -460,3 +460,59 @@ def test_bpe_token_count_matches_duckdb_re2():
         con.execute(f"select len(regexp_extract_all(?, '{sql_pat}'))", [t]).fetchone()[0]
         for t in df["text"]
     ]
+
+
+def test_chunker_matches_bruteforce():
+    """Chunker == the obvious per-row slicing, including the edge
+    shapes: empty text (no chunks), text exactly one chunk long, text
+    ending exactly on a stride boundary, and multi-chunk overlap."""
+    size, overlap = 8, 3
+    stride = size - overlap
+    texts = ["", "a", "x" * size, "y" * stride, "z" * (stride * 2), "abcdefghijklmnop"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = text.Chunker(size, overlap)(df)
+    rows = []
+    for d, t in zip(df["doc_id"], df["text"]):
+        s, i = 0, 0
+        while s < len(t):
+            rows.append((d, i, t[s : s + size], len(t[s : s + size])))
+            s += stride
+            i += 1
+    want = pd.DataFrame(rows, columns=["doc_id", "chunk_id", "chunk_text", "n_chunk_chars"])
+    g = got.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    w = want.astype(g.dtypes.to_dict()).sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w)
+    # overlap really overlaps: chunk i's tail == chunk i+1's head
+    two = g[g["doc_id"] == 5].reset_index(drop=True)
+    assert two.loc[0, "chunk_text"][stride:] == two.loc[1, "chunk_text"][: overlap]
+    with pytest.raises(ValueError):
+        text.Chunker(4, 4)
+
+
+def test_heavy_hitters_prunes_and_stays_exact(ray_session):
+    """Misra-Gries path with a vocab FAR larger than k (pruning
+    engages in every batch): result must still equal the exact count
+    filter, because candidates are recounted exactly."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    hot = [f"hot{i}" for i in range(5)]
+    docs = []
+    for d in range(400):
+        toks = [hot[rng.integers(5)] for _ in range(20)]
+        toks += [f"tail{d}_{j}" for j in range(30)]  # 12k unique tail tokens
+        docs.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = text.heavy_hitters(ds, frac_num=1, frac_den=100, k=128)
+    # exact reference
+    from collections import Counter
+
+    c = Counter(w for t in docs for w in t.split())
+    total = sum(c.values())
+    thr = (total + 99) // 100
+    want = sorted(((n, tok) for tok, n in c.items() if n >= thr), key=lambda x: (-x[0], x[1]))
+    assert list(zip(got["n"], got["token"])) == want
+    assert set(got["token"]) == set(hot)  # the tail never qualifies
+    with pytest.raises(ValueError):
+        text.heavy_hitters(ds, frac_num=1, frac_den=300, k=64)  # k+1 <= den
