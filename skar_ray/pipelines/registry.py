@@ -227,6 +227,38 @@ def store_filtered_group_count_corpus(sf_dir: str) -> pd.DataFrame:
     return res.rename(columns={"value": "repo"})
 
 
+def _text_len_col(t: pa.Table) -> pa.Array:
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.utf8_length(t.column("text")), pa.int64())
+
+
+def derive_column_documents(sf_dir: str) -> pd.DataFrame:
+    """Schema evolution on the ENCODED store: encode documents, then
+    ADD COLUMN text_len AS utf8_length(text) via the derived-column
+    job (pipelines/derive.py — existing column blobs copied verbatim,
+    no re-encode), then query the DERIVED column back through the full
+    partition/chunk-pruning ladder with a DNF filter on it."""
+    from .derive import run_derive_column_job
+    from .encode_job import run_encode_job
+    from .query_encoded import query_encoded
+
+    out = tempfile.mkdtemp(prefix="skar_derive_docs_")
+    try:
+        run_encode_job(
+            f"{sf_dir}/documents.parquet", out, mode="sharded",
+            chunk_target_bytes=256 << 10, resume=False,
+        )
+        run_derive_column_job(out, "text_len", _text_len_col, ["text"])
+        res = query_encoded(
+            out, columns=["doc_id", "text_len"],
+            filters=[[("text_len", ">=", 300)]],
+        ).to_pandas()
+        return res.sort_values("doc_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def query_encoded_documents(sf_dir: str) -> pd.DataFrame:
     """SQL-verified query over the ENCODED store: encode the documents
     table, then evaluate a mixed string+numeric DNF directly on the
@@ -1605,6 +1637,13 @@ QUERIES: dict[str, tuple] = {
         query_encoded_documents,
         "SELECT doc_id, lang, source, n_chars FROM documents "
         "WHERE (lang = 'en' AND n_chars >= 400) OR (source = 'src7' AND n_chars < 150)",
+    ),
+    "derive_column_documents": (
+        derive_column_documents,
+        # length() is character-based like pc.utf8_length; the filter
+        # exercises partition+chunk pruning ON the derived column
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len FROM documents "
+        "WHERE length(text) >= 300",
     ),
     "query_encoded_join": (
         query_encoded_join,

@@ -179,38 +179,14 @@ def encode_partition(
             enc_total += cm["length"]
 
     # per-partition pruning stats — the analog of skar's per-folder
-    # min/max + distinct-set indexes (build_parquet_idx.rs:50-115):
-    # min/max for every column, plus the exact distinct-value list for
-    # low-cardinality string columns (repo/lang), consulted by
-    # query_encoded() to skip whole partitions.
-    from ..state.pruning import minmax_stat
+    # min/max + distinct-set indexes (build_parquet_idx.rs:50-115),
+    # consulted by query_encoded() to skip whole partitions; shared
+    # helper so derived columns (pipelines/derive.py) prune identically
+    from ..state.pruning import column_stats
 
     stats: dict[str, dict] = {}
     for name in data.column_names:
-        col = data.column(name)
-        try:
-            entry = minmax_stat(col)
-        except Exception:
-            entry = {}
-        if pa.types.is_string(col.type if not isinstance(col, pa.ChunkedArray) else col.type):
-            distinct = pc.unique(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
-            if len(distinct) <= 64:
-                # drop null like container._chunk_stats: sorted() cannot
-                # compare None to str, and equality/in clauses (the only
-                # consumers) never match null anyway
-                entry["distinct"] = sorted(
-                    v for v in distinct.to_pylist() if v is not None
-                )
-            elif name != "content" and len(distinct) <= 100_000:
-                # SBBF sketch over the distinct set — skar's per-folder
-                # bloom (build_parquet_idx.rs:96-115) for point lookups
-                # on high-cardinality columns (path, commit)
-                from ..state.bloom import SplitBlockBloom
-
-                entry["bloom"] = SplitBlockBloom.build(
-                    [v.encode() for v in distinct.to_pylist() if v is not None]
-                ).serialize()
-        stats[name] = entry
+        stats[name] = column_stats(name, data.column(name))
 
     m = manifest.PartitionManifest(
         partition_id=pid,

@@ -59,6 +59,35 @@ def _chunk_stats(name: str, col) -> dict | None:
         return None
 
 
+def _plan_column(col, codec_override: str | None = None):
+    """Partition-level codec plan for ONE column: auto-select the codec
+    on a sample and train one FSST symbol table (reused across chunks)
+    when the column is high-cardinality string-like.  Shared by
+    write_container and append_column so a derived column gets exactly
+    the same codec treatment as an encode-time one."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    fsst_table = None
+    if auto.base.is_string_like(col.type) and len(col):
+        import pyarrow.compute as pc
+
+        sample = auto.sample_of(col)
+        distinct_ratio = pc.count_distinct(sample).as_py() / max(1, len(sample))
+        if distinct_ratio >= 0.05:  # low-cardinality ⇒ dict wins, skip training
+            from ..codecs import base as cbase
+            from ..codecs.fsst import FsstCodec
+
+            _, data = cbase.strings_to_buffers(cbase.split_nulls(col)[1])
+            fsst_table = FsstCodec().make_table(data)
+    codec = codec_override
+    estimates: dict = {}
+    if codec is None:
+        codec, estimates = auto.select_codec(col, fsst_table=fsst_table)
+    if codec != "fsst":
+        fsst_table = None
+    return col, codec, fsst_table, estimates
+
+
 def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]] | None = None,
                     codec_overrides: dict[str, str] | None = None,
                     extra: dict | None = None, validator=None) -> dict:
@@ -89,27 +118,9 @@ def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]
     # per-chunk re-training/re-selection would dominate encode time.
     plan: dict[str, tuple[str, object, dict]] = {}
     for name in table.column_names:
-        col = table.column(name)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        fsst_table = None
-        if auto.base.is_string_like(col.type) and len(col):
-            import pyarrow.compute as pc
-
-            sample = auto.sample_of(col)
-            distinct_ratio = pc.count_distinct(sample).as_py() / max(1, len(sample))
-            if distinct_ratio >= 0.05:  # low-cardinality ⇒ dict wins, skip training
-                from ..codecs import base as cbase
-                from ..codecs.fsst import FsstCodec
-
-                _, data = cbase.strings_to_buffers(cbase.split_nulls(col)[1])
-                fsst_table = FsstCodec().make_table(data)
-        codec = codec_overrides.get(name)
-        estimates: dict = {}
-        if codec is None:
-            codec, estimates = auto.select_codec(col, fsst_table=fsst_table)
-        if codec != "fsst":
-            fsst_table = None
+        _, codec, fsst_table, estimates = _plan_column(
+            table.column(name), codec_overrides.get(name)
+        )
         plan[name] = (codec, fsst_table, estimates)
 
     chunks_meta = []
@@ -158,6 +169,77 @@ def write_container(path: str, table: pa.Table, chunk_rows: list[tuple[int, int]
         f.write(struct.pack("<QQ", len(hz), len(hjson)))
         f.write(hz)
         for b in blobs:
+            f.write(b)
+    if validator is not None:
+        try:
+            validator(tmp)
+        except Exception:
+            os.unlink(tmp)
+            raise
+    os.replace(tmp, path)
+    return header
+
+
+def append_column(path: str, name: str, column, codec: str | None = None,
+                  page_level=None, validator=None) -> dict:
+    """Append a derived column to an existing container WITHOUT
+    re-encoding the existing ones: blob offsets are relative to the
+    blob region, so every existing blob is copied VERBATIM and stays
+    addressable; the new column's chunk blobs land at the end of the
+    region.  Chunk boundaries are taken from the container (the derived
+    column must align row-for-row), chunk min/max stats are written so
+    chunk pruning works on the derived column, and the rewrite is
+    atomic (temp + optional validator + rename) like write_container.
+    Reference analog: the post-write index build over already-flushed
+    folders, /root/reference/skar/src/build_parquet_idx.rs:19-199 —
+    generalized to a queryable column."""
+    header, blob_start = read_header(path)
+    if any(n == name for n, _ in header["schema"]):
+        raise ValueError(f"column {name!r} already present in {path}")
+    n_rows = sum(ch["n_rows"] for ch in header["chunks"])
+    if len(column) != n_rows:
+        raise ValueError(f"column length {len(column)} != container rows {n_rows}")
+    col, codec_name, fsst_table, estimates = _plan_column(column, codec)
+    with open(path, "rb") as f:
+        f.seek(blob_start)
+        old_blobs = f.read()
+    new_blobs: list[bytes] = []
+    off = len(old_blobs)
+    row0 = 0
+    first_chunk = True
+    for ch in header["chunks"]:
+        sl = col.slice(row0, ch["n_rows"])
+        row0 += ch["n_rows"]
+        enc = auto.encode_column(sl, codec_name, fsst_table=fsst_table, page_level=page_level)
+        if first_chunk:
+            enc.estimates = estimates
+        ch["columns"].append(
+            {
+                "name": name,
+                "codec": enc.codec,
+                "meta": enc.meta,
+                "page": enc.page,
+                "offset": off,
+                "length": len(enc.blob),
+                "payload_len": enc.payload_len,
+                "raw_bytes": enc.raw_bytes,
+                "estimates": enc.estimates,
+                "minmax": _chunk_stats(name, sl),
+            }
+        )
+        off += len(enc.blob)
+        new_blobs.append(enc.blob)
+        first_chunk = False
+    header["schema"].append([name, str(col.type)])
+    hjson = json.dumps(header).encode("utf-8")
+    hz = pa.Codec("zstd", compression_level=3).compress(hjson).to_pybytes()
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC2)
+        f.write(struct.pack("<QQ", len(hz), len(hjson)))
+        f.write(hz)
+        f.write(old_blobs)
+        for b in new_blobs:
             f.write(b)
     if validator is not None:
         try:

@@ -38,6 +38,41 @@ def clause_compute(a, op: str, value):
     raise ValueError(f"unknown op {op}")
 
 
+def column_stats(name: str, col) -> dict:
+    """Partition-level pruning stats for one column — min/max for every
+    column, plus the exact distinct-value list for low-cardinality
+    string columns and an SBBF sketch for high-cardinality ones (the
+    analog of skar's per-folder min/max + distinct-set indexes,
+    /root/reference/skar/src/build_parquet_idx.rs:50-115).  Shared by
+    the encode path and the derived-column job so a derived column
+    prunes exactly like an encode-time one."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    try:
+        entry = minmax_stat(col)
+    except Exception:
+        entry = {}
+    typ = col.type
+    if pa.types.is_string(typ):
+        distinct = pc.unique(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        if len(distinct) <= 64:
+            # drop null like container._chunk_stats: sorted() cannot
+            # compare None to str, and equality/in clauses (the only
+            # consumers) never match null anyway
+            entry["distinct"] = sorted(v for v in distinct.to_pylist() if v is not None)
+        elif name != "content" and len(distinct) <= 100_000:
+            # SBBF sketch over the distinct set — skar's per-folder
+            # bloom (build_parquet_idx.rs:96-115) for point lookups
+            # on high-cardinality columns (path, commit)
+            from .bloom import SplitBlockBloom
+
+            entry["bloom"] = SplitBlockBloom.build(
+                [v.encode() for v in distinct.to_pylist() if v is not None]
+            ).serialize()
+    return entry
+
+
 def minmax_stat(col) -> dict:
     """Typed min/max stats entry for pruning: tag ``"s"`` for strings
     (truncated, U+10FFFF upper-bound sentinel) / ``"n"`` for numerics
