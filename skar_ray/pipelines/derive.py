@@ -151,3 +151,62 @@ def run_derive_column_job(
         "skipped": len(manifests) - len(work),
         "enc_bytes": int(res["enc_bytes"].sum()),
     }
+
+
+# columns the engine's lineage depends on: content feeds the partition
+# digest (decode verification), the sort keys define partition order
+_PROTECTED = frozenset(["content", "repo", "path", "commit"])
+
+
+def run_drop_column_job(out_dir: str, name: str, concurrency: int | None = None) -> dict:
+    """Drop column ``name`` from every partition, reclaiming its bytes
+    (container.drop_column copies surviving blobs verbatim).  Refuses
+    lineage columns (content / sort keys).  Idempotent: partitions
+    whose container no longer has the column only get their manifest
+    reconciled."""
+    if name in _PROTECTED:
+        raise ValueError(f"refusing to drop lineage column {name!r}")
+    manifests = manifest_mod.scan_manifests(out_dir)
+    if not manifests:
+        raise ValueError(f"no completed partitions under {out_dir}")
+    work = [
+        {"pid": pid, "data_file": m.data_file}
+        for pid, m in sorted(manifests.items())
+        if name in m.columns
+    ]
+    if not work:
+        return {"partitions": 0, "skipped": len(manifests), "reclaimed_bytes": 0}
+
+    def drop_batch(batch: pa.Table) -> pa.Table:
+        pids, reclaimed = [], []
+        for row in batch.to_pylist():
+            pid, path = row["pid"], os.path.join(out_dir, row["data_file"])
+            header, _ = container_mod.read_header(path)
+            if any(n == name for n, _ in header["schema"]):
+                header = container_mod.drop_column(path, name)
+            m = manifest_mod.read_manifest(out_dir, pid)
+            acct = m.columns.pop(name, None) or {"raw_bytes": 0, "enc_bytes": 0}
+            m.raw_bytes -= acct["raw_bytes"]
+            m.enc_bytes -= acct["enc_bytes"]
+            m.extra.get("stats", {}).pop(name, None)
+            manifest_mod.write_manifest(out_dir, m)
+            pids.append(pid)
+            reclaimed.append(acct["enc_bytes"])
+        return pa.table(
+            {
+                "partition_id": pa.array(pids, type=pa.int64()),
+                "reclaimed": pa.array(reclaimed, type=pa.int64()),
+            }
+        )
+
+    kw = {"concurrency": concurrency} if concurrency else {}
+    res = (
+        ray.data.from_items(work, override_num_blocks=len(work))
+        .map_batches(drop_batch, batch_format="pyarrow", num_cpus=1, **kw)
+        .to_pandas()
+    )
+    return {
+        "partitions": int(len(res)),
+        "skipped": len(manifests) - len(work),
+        "reclaimed_bytes": int(res["reclaimed"].sum()),
+    }

@@ -251,6 +251,53 @@ def append_column(path: str, name: str, column, codec: str | None = None,
     return header
 
 
+def drop_column(path: str, name: str, validator=None) -> dict:
+    """Drop a column and RECLAIM its bytes: surviving blobs are copied
+    verbatim (no re-encode) with offsets re-sequenced, the schema entry
+    and per-chunk metas removed, and the rewrite published atomically
+    like write_container.  Refuses to drop the last column."""
+    header, blob_start = read_header(path)
+    names = [n for n, _ in header["schema"]]
+    if name not in names:
+        raise ValueError(f"column {name!r} not in {path}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the last column")
+    new_blobs: list[bytes] = []
+    off = 0
+    with open(path, "rb") as f:
+        for ch in header["chunks"]:
+            kept = []
+            for cm in ch["columns"]:
+                if cm["name"] == name:
+                    continue
+                f.seek(blob_start + cm["offset"])
+                b = f.read(cm["length"])
+                cm = dict(cm)
+                cm["offset"] = off
+                kept.append(cm)
+                new_blobs.append(b)
+                off += len(b)
+            ch["columns"] = kept
+    header["schema"] = [e for e in header["schema"] if e[0] != name]
+    hjson = json.dumps(header).encode("utf-8")
+    hz = pa.Codec("zstd", compression_level=3).compress(hjson).to_pybytes()
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC2)
+        f.write(struct.pack("<QQ", len(hz), len(hjson)))
+        f.write(hz)
+        for b in new_blobs:
+            f.write(b)
+    if validator is not None:
+        try:
+            validator(tmp)
+        except Exception:
+            os.unlink(tmp)
+            raise
+    os.replace(tmp, path)
+    return header
+
+
 def read_header(path: str) -> tuple[dict, int]:
     with open(path, "rb") as f:
         magic = f.read(len(MAGIC))

@@ -130,3 +130,32 @@ def test_derived_column_prunes_partitions(store):
     assert keep == sorted(repo_of[target])
     got = query_encoded(OUT, columns=["repo", "repo_upper"], filters=[[("repo_upper", "==", target)]]).to_pandas()
     assert len(got) > 0 and (got["repo"].str.upper() == target).all()
+
+
+def test_drop_column_job_reclaims_and_is_idempotent(store):
+    from skar_ray.pipelines.derive import run_drop_column_job
+
+    ms = manifest_mod.scan_manifests(OUT)
+    assert all("repo_upper" in m.columns for m in ms.values())
+    sizes_before = {
+        pid: os.path.getsize(os.path.join(OUT, m.data_file)) for pid, m in ms.items()
+    }
+    s = run_drop_column_job(OUT, "repo_upper")
+    assert s["partitions"] == len(ms) and s["reclaimed_bytes"] > 0
+    ms2 = manifest_mod.scan_manifests(OUT)
+    for pid, m in ms2.items():
+        assert "repo_upper" not in m.columns
+        assert "repo_upper" not in m.extra["stats"]
+        # bytes really reclaimed on disk
+        assert os.path.getsize(os.path.join(OUT, m.data_file)) < sizes_before[pid]
+        hdr, _ = container.read_header(os.path.join(OUT, m.data_file))
+        assert all(n != "repo_upper" for n, _ in hdr["schema"])
+    # surviving columns still decode bit-consistently (content_len intact)
+    both = query_encoded(OUT, columns=["content", "content_len"]).to_pandas()
+    assert (both["content"].str.len().astype("int64") == both["content_len"]).all()
+    # idempotent
+    s2 = run_drop_column_job(OUT, "repo_upper")
+    assert s2["partitions"] == 0 and s2["skipped"] == len(ms)
+    # lineage columns are protected
+    with pytest.raises(ValueError):
+        run_drop_column_job(OUT, "content")
