@@ -559,6 +559,34 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def dedup_lines(sf_dir: str) -> pd.DataFrame:
+    """Repeated-line boilerplate removal over the CODE corpus (the
+    C4/RefinedWeb line-dedup cleaning step): lines appearing in >= 10
+    distinct documents (license headers, generated imports) are removed
+    from every document.  Exact at any scale — hash-count exchange →
+    candidate recount by exact text → broadcast rewrite
+    (stages/text.boilerplate_lines).  Returns the per-doc identity
+    frame (md5 of the cleaned content) for SQL hash verification."""
+    from ..corpus import ensure_corpus, rows_for_sf, sf_from_dir
+    from ..stages.text import remove_boilerplate_lines
+
+    n = rows_for_sf(sf_from_dir(sf_dir), cap=5000)
+    d = ensure_corpus(n)
+    ds = ray.data.read_parquet(
+        os.path.join(d, "corpus.parquet"),
+        columns=["repo", "path", "commit", "content"],
+    )
+    out = remove_boilerplate_lines(ds, min_docs=10, text_col="content").to_pandas()
+    out["clean_md5"] = out["clean_content"].map(
+        lambda s: hashlib.md5(s.encode()).hexdigest()
+    )
+    return (
+        out[["repo", "path", "commit", "n_lines", "n_kept", "clean_md5"]]
+        .sort_values(["repo", "path", "commit", "clean_md5"])
+        .reset_index(drop=True)
+    )
+
+
 def label_confusion(sf_dir: str) -> pd.DataFrame:
     """Label-noise QA: confusion counts between the labeled ``lang``
     and the stopword-profile prediction — flags mislabeled training
@@ -1545,6 +1573,41 @@ QUERIES: dict[str, tuple] = {
         r"cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token) "
         r"SELECT token, CAST(c AS BIGINT) AS n FROM cnt, tot"
         r" WHERE c >= (tot.n + 29) // 30",
+    ),
+    "dedup_lines": (
+        dedup_lines,
+        # rid = internal per-row key only (corpus (repo,path,commit) is
+        # not unique); the hash compare is order-insensitive, and
+        # duplicate rows clean to identical output rows, so row_number's
+        # arbitrary assignment cannot change the result multiset.
+        # count(DISTINCT rid) = distinct-DOCUMENT line frequency (the
+        # engine dedupes lines per doc before counting).
+        f"""WITH docs AS (
+  SELECT row_number() OVER () AS rid, repo, path, "commit",
+         string_split(content, chr(10)) AS ls
+  FROM '{_CORPUS_GLOB_5K}'
+), meta AS (
+  -- scalars only: grouping by the raw line LIST would hash whole
+  -- multi-thousand-element lists per row (measured 17x slower)
+  SELECT rid, repo, path, "commit", CAST(len(ls) AS BIGINT) AS n_lines
+  FROM docs
+), l AS (
+  -- lockstep multi-unnest zips each line with its 1-based ordinal
+  -- (no series cap needed: linear in total line count)
+  SELECT rid, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS ln
+  FROM docs
+), freq AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT rid) AS c FROM l GROUP BY line
+  ) WHERE c >= 10
+), kept AS (
+  SELECT rid, ln, line FROM l WHERE line NOT IN (SELECT line FROM freq)
+)
+SELECT m.repo, m.path, m."commit", m.n_lines,
+       CAST(count(k.ln) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(k.line, chr(10) ORDER BY k.ln), '')) AS clean_md5
+FROM meta m LEFT JOIN kept k ON m.rid = k.rid
+GROUP BY m.rid, m.repo, m.path, m."commit", m.n_lines""",
     ),
     # windows (stream-shaped, order-insensitive aggregates)
     "tumbling_window": (

@@ -440,3 +440,160 @@ def heavy_hitters(
     )
     out = exact[exact["n"] >= threshold].astype({"n": "int64"})
     return out.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
+
+
+def _distinct_doc_lines(texts: pd.Series) -> pd.DataFrame:
+    """(row, line) with one row per DISTINCT line per document — each
+    input row is one whole document, so per-row dedup here makes every
+    downstream count an exact DISTINCT-DOCUMENT count."""
+    ex = texts.reset_index(drop=True).str.split("\n").explode()
+    return pd.DataFrame(
+        {"row": ex.index.to_numpy(np.int64), "line": ex.to_numpy(object)}
+    ).drop_duplicates(ignore_index=True)
+
+
+def _line_hashes(lines: np.ndarray) -> np.ndarray:
+    # deterministic across processes (siphash with pandas' fixed
+    # default key) — and correctness never depends on it: pass 2
+    # recounts candidates by EXACT line text, so a collision can only
+    # add a stray candidate, never a wrong final count
+    return pd.util.hash_array(lines).view(np.int64)
+
+
+def boilerplate_lines(
+    ds: "ray.data.Dataset", min_docs: int = 10, text_col: str = "content"
+) -> pd.DataFrame:
+    """EXACT set of lines appearing in >= ``min_docs`` distinct
+    documents — the repeated-line boilerplate detector (license
+    headers, generated imports) of C4/RefinedWeb-style corpus cleaning.
+
+    100 TB shape — the full line vocabulary never ships anywhere:
+
+    1. count by 64-bit line HASH: per-batch partials (hash, count) ride
+       the shared hash exchange (16 bytes per distinct line per batch),
+       candidates = hashes with count >= min_docs, a set bounded by
+       total_lines / min_docs (each candidate needs min_docs holders);
+    2. recount ONLY candidate lines by exact text (same exchange, text
+       confined to the bounded candidate set) — collisions from pass 1
+       are dropped here, so the result is exact.
+
+    Returns (line, n_docs) sorted by (-n_docs, line).
+    Reference analog: the distinct-set index build feeding query
+    pruning, /root/reference/skar/src/build_parquet_idx.rs:89-166.
+    """
+    import ray
+
+    from .groups import bucketed_group_apply
+
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (every line is in >= 1 doc)")
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = _distinct_doc_lines(batch[text_col])
+        vc = pd.Series(_line_hashes(d["line"].to_numpy(object))).value_counts(sort=False)
+        return pd.DataFrame(
+            {"h": vc.index.to_numpy(np.int64), "c": vc.to_numpy(np.int64)}
+        )
+
+    def sum_h(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"h": pd.Series([], dtype="int64"), "c": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame({"h": [int(g["h"].iloc[0])], "c": [int(g["c"].sum())]})
+
+    cand_df = (
+        bucketed_group_apply(
+            ds.map_batches(count_partial, batch_format="pandas"), ["h"], sum_h
+        )
+        .map_batches(
+            lambda b: b.loc[b["c"] >= min_docs, ["h"]], batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    # an all-filtered Dataset can collect to a column-less frame
+    cand = np.sort(cand_df["h"].to_numpy(np.int64)) if "h" in cand_df else np.array([], dtype=np.int64)
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {"line": pd.Series([], dtype="object"), "n_docs": pd.Series([], dtype="int64")}
+        )
+    cand_ref = ray.put(cand)
+
+    class CandidateCount:
+        def __init__(self, ref, col):
+            self.cand = ray.get(ref)  # broadcast: fetched once per actor
+            self.col = col
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            d = _distinct_doc_lines(batch[self.col])
+            h = _line_hashes(d["line"].to_numpy(object))
+            pos = np.searchsorted(self.cand, h)
+            pos[pos == len(self.cand)] = 0
+            vc = d.loc[self.cand[pos] == h, "line"].value_counts(sort=False)
+            return pd.DataFrame(
+                {"line": vc.index.to_numpy(object), "c": vc.to_numpy(np.int64)}
+            )
+
+    def sum_line(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"line": pd.Series([], dtype="object"), "c": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame({"line": [g["line"].iloc[0]], "c": [int(g["c"].sum())]})
+
+    from ..runtime import pool_size
+
+    exact = bucketed_group_apply(
+        ds.map_batches(
+            CandidateCount, fn_constructor_args=(cand_ref, text_col),
+            batch_format="pandas", concurrency=pool_size(),
+        ),
+        ["line"], sum_line,
+    ).to_pandas()
+    out = exact.loc[exact["c"] >= min_docs].rename(columns={"c": "n_docs"})
+    return (
+        out.sort_values(["n_docs", "line"], ascending=[False, True])
+        .reset_index(drop=True)
+        .astype({"n_docs": "int64"})
+    )
+
+
+def remove_boilerplate_lines(
+    ds: "ray.data.Dataset", min_docs: int = 10, text_col: str = "content"
+) -> "ray.data.Dataset":
+    """Rewrite every document with its boilerplate lines removed (lines
+    in >= ``min_docs`` distinct docs, exact via ``boilerplate_lines``)
+    — the repeated-line corpus cleaner.  Streaming output: the input
+    columns with ``text_col`` replaced by ``clean_<text_col>`` plus
+    ``n_lines`` / ``n_kept``; the only driver-held state is the
+    bounded frequent-line set, broadcast once (``ray.put``)."""
+    import ray
+
+    freq = boilerplate_lines(ds, min_docs=min_docs, text_col=text_col)
+    freq_ref = ray.put(frozenset(freq["line"]))
+
+    class Clean:
+        def __init__(self, ref, col):
+            self.freq = ray.get(ref)  # broadcast: fetched once per actor
+            self.col = col
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.reset_index(drop=True)
+            splits = b[self.col].str.split("\n")
+            ex = splits.explode()
+            keep = ~ex.isin(self.freq)
+            joined = ex[keep].groupby(level=0).agg("\n".join)
+            out = b.drop(columns=[self.col])
+            out[f"clean_{self.col}"] = joined.reindex(b.index, fill_value="")
+            out["n_lines"] = splits.str.len().to_numpy(np.int64)
+            out["n_kept"] = (
+                keep.groupby(level=0).sum().reindex(b.index, fill_value=0).to_numpy(np.int64)
+            )
+            return out
+
+    from ..runtime import pool_size
+
+    return ds.map_batches(
+        Clean, fn_constructor_args=(freq_ref, text_col),
+        batch_format="pandas", concurrency=pool_size(),
+    )

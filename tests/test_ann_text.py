@@ -516,3 +516,59 @@ def test_heavy_hitters_prunes_and_stays_exact(ray_session):
     assert set(got["token"]) == set(hot)  # the tail never qualifies
     with pytest.raises(ValueError):
         text.heavy_hitters(ds, frac_num=1, frac_den=300, k=64)  # k+1 <= den
+
+
+def test_boilerplate_lines_match_bruteforce(ray_session):
+    """Exact repeated-line detection + removal vs a pure-python
+    reference, incl. all-boilerplate docs (clean to empty string) and
+    the empty-frequent-set path (threshold above every count)."""
+    import ray.data
+
+    rng = np.random.default_rng(0)
+    boiler = ["// SPDX-License", "import os", ""]
+    docs = []
+    for i in range(200):
+        lines = [f"unique {i} {j}" for j in range(rng.integers(1, 6))]
+        for b in boiler:
+            if rng.random() < 0.5:
+                lines.insert(int(rng.integers(0, len(lines) + 1)), b)
+        if i % 37 == 0:
+            lines = ["import os", "// SPDX-License"]  # all-boilerplate doc
+        docs.append("\n".join(lines))
+    df = pd.DataFrame({"doc_id": range(200), "content": docs})
+
+    from collections import Counter
+
+    cnt = Counter()
+    for s in docs:
+        for line in set(s.split("\n")):
+            cnt[line] += 1
+    K = 10
+    want_freq = {line for line, c in cnt.items() if c >= K}
+    assert want_freq, "fixture must actually contain boilerplate"
+
+    got = text.boilerplate_lines(ray.data.from_pandas(df), min_docs=K)
+    assert set(got["line"]) == want_freq
+    assert all(cnt[line] == n for line, n in zip(got["line"], got["n_docs"]))
+
+    out = (
+        text.remove_boilerplate_lines(ray.data.from_pandas(df), min_docs=K)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (out["n_kept"] == 0).any(), "all-boilerplate docs must clean to empty"
+    for i, s in enumerate(docs):
+        lines = s.split("\n")
+        kept = [line for line in lines if line not in want_freq]
+        assert out.loc[i, "clean_content"] == "\n".join(kept)
+        assert out.loc[i, "n_lines"] == len(lines)
+        assert out.loc[i, "n_kept"] == len(kept)
+
+    # threshold above every count -> empty frequent set -> identity
+    out2 = (
+        text.remove_boilerplate_lines(ray.data.from_pandas(df), min_docs=10**9)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (out2["clean_content"] == df["content"]).all()
+
+    with pytest.raises(ValueError, match="min_docs"):
+        text.boilerplate_lines(ray.data.from_pandas(df), min_docs=1)
