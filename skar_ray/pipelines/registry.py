@@ -183,6 +183,68 @@ def query_encoded_corpus(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["repo", "path", "lang"]).reset_index(drop=True)
 
 
+def _zorder_store(sf_dir: str, cap: int = 5000) -> str:
+    """Encode the seeded corpus into a Z-ORDER-clustered store (Morton
+    interleave of lang+path dense ranks, stages/encoder.zsort) so chunk
+    stats prune on BOTH keys — the multi-column generalization of the
+    reference's block-number sort + row-group skip.  Cached like
+    _corpus_store; the done-marker is written LAST (temp+rename) so an
+    interrupted build is invisible."""
+    import json
+
+    from ..corpus import ensure_corpus, rows_for_sf, sf_from_dir
+    from ..stages.encoder import encode_partition, zsort
+
+    n = rows_for_sf(sf_from_dir(sf_dir), cap=cap)
+    d = ensure_corpus(n)
+    out = f"/tmp/skar_ray_encoded/zorder-n{n}"
+    done = os.path.join(out, "_zdone.json")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    ds = ray.data.read_parquet(os.path.join(d, "corpus.parquet"))
+
+    def add_pkey(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(b.column("repo").to_pandas().to_numpy(dtype=object))
+        return b.append_column("pkey", pa.array((h % 8).astype(np.int64)))
+
+    def enc(g: pa.Table) -> pa.Table:
+        return encode_partition(
+            g, out, chunk_target_bytes=1 << 20,
+            sort_fn=lambda t: zsort(t, ["lang", "path"]),
+            sort_keys_label=["zorder:lang", "zorder:path"],
+        )
+
+    summaries = (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey").map_groups(enc, batch_format="pyarrow")
+        .to_pandas()
+    )
+    tmp = done + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"n_rows": int(summaries["n_rows"].sum()), "partitions": len(summaries)}, f)
+    os.replace(tmp, done)
+    return out
+
+
+def query_zorder_store(sf_dir: str) -> pd.DataFrame:
+    """Projected DNF query against the z-order-clustered store: the
+    filter hits the SECONDARY clustered key (lang) plus a path prefix —
+    both prune chunks under z-order where a (repo,path,commit) lexsort
+    prunes neither (pytest asserts the chunk counts); results go
+    through the normal prune → mask → project ladder and are
+    hash-verified against the raw corpus in DuckDB."""
+    from .query_encoded import query_encoded
+
+    out = _zorder_store(sf_dir)
+    res = query_encoded(
+        out,
+        columns=["repo", "path", "lang"],
+        filters=[[("lang", "==", "go"), ("path", "prefix", "src/")]],
+    ).to_pandas()
+    return res.sort_values(["repo", "path", "lang"]).reset_index(drop=True)
+
+
 def store_group_count(sf_dir: str, column: str = "lang") -> pd.DataFrame:
     """GROUP BY on the ENCODED store without decoding the grouped
     column — dict/rle aggregate pushdown (stats.store_value_counts);
@@ -1695,6 +1757,11 @@ GROUP BY m.rid, m.repo, m.path, m."commit", m.n_lines""",
         query_encoded_corpus,
         f"SELECT repo, path, lang FROM '{_CORPUS_GLOB_20K}' "
         "WHERE lang = 'go' OR (lang = 'python' AND path LIKE 'src/%')",
+    ),
+    "query_zorder_store": (
+        query_zorder_store,
+        f"SELECT repo, path, lang FROM '{_CORPUS_GLOB_5K}' "
+        "WHERE lang = 'go' AND path LIKE 'src/%'",
     ),
     "query_encoded_documents": (
         query_encoded_documents,

@@ -46,6 +46,56 @@ def lexsort(table: pa.Table, keys: list[str] = SORT_KEYS) -> pa.Table:
     return table.take(idx)
 
 
+def zsort(table: pa.Table, keys: list[str]) -> pa.Table:
+    """Z-ORDER (Morton) clustering: sort by the bit-interleaved dense
+    ranks of ``keys`` so chunk min/max + distinct stats stay tight on
+    EVERY key instead of only the leading lexsort key — the multi-
+    column generalization of skar's pre-write lexsort
+    (/root/reference/skar/src/write_parquet.rs:22-35; row-group skip
+    via the per-chunk stats, data_provider.rs:250-333).  Trade-off is
+    the standard one: leading-key range pruning weakens vs pure
+    lexsort, secondary-key pruning goes from nothing to real.
+
+    Ranks (dictionary-dense, value-order-preserving via
+    ``pc.rank(tiebreaker="dense")``) are scaled to ``64 // n_keys``
+    bits each, so the interleaved code fits one uint64 — fully
+    vectorized, no per-row loop."""
+    keys = [k for k in keys if k in table.column_names]
+    if not keys:
+        return table
+    if len(keys) > 8:
+        raise ValueError("zsort supports at most 8 keys (>= 8 bits per key)")
+    bits = 64 // len(keys)
+    cap = np.uint64((1 << bits) - 1)
+    cols = []
+    for k in keys:
+        r = pc.rank(table.column(k).combine_chunks(), sort_keys="ascending",
+                    tiebreaker="dense").to_numpy().astype(np.uint64)
+        rmax = int(r.max()) if len(r) else 1
+        if rmax <= 1:
+            cols.append(np.zeros(len(r), dtype=np.uint64))
+        elif rmax - 1 <= int(cap):
+            # stretch to the FULL bit range: a low-cardinality key left
+            # at raw ranks would occupy only the code's low-order bits
+            # and never influence the sort (high bits of the other key
+            # would dominate) — the classic Morton scaling pitfall
+            cols.append((r - np.uint64(1)) * (cap // np.uint64(rmax - 1)))
+        else:
+            # downscale via float64: monotone (x*c is monotone for c>0),
+            # deterministic, and overflow-free where integer r*cap isn't
+            cols.append(
+                ((r - np.uint64(1)).astype(np.float64) * (float(cap) / float(rmax - 1)))
+                .astype(np.uint64)
+            )
+    code = np.zeros(table.num_rows, dtype=np.uint64)
+    n = len(cols)
+    for b in range(bits):
+        for j, c in enumerate(cols):
+            code |= ((c >> np.uint64(b)) & np.uint64(1)) << np.uint64(b * n + (n - 1 - j))
+    order = np.argsort(code, kind="stable")
+    return table.take(pa.array(order))
+
+
 def row_sha256(table: pa.Table, column: str = "content") -> list[bytes]:
     col = table.column(column)
     if isinstance(col, pa.ChunkedArray):
@@ -95,8 +145,15 @@ def encode_partition(
     input_fingerprint: str = "",
     codec_overrides: dict[str, str] | None = None,
     validate: bool = True,
+    sort_fn=None,
+    sort_keys_label: list[str] | None = None,
 ) -> pa.Table:
     """Encode one partition; returns a 1-row summary table.
+
+    ``sort_fn`` overrides the pre-write clustering (default
+    ``lexsort`` by SORT_KEYS) — e.g. ``lambda t: zsort(t, keys)`` for
+    multi-column z-order stores; ``sort_keys_label`` is recorded in
+    the container header alongside it.
 
     ``validate=True`` (default) decode-verifies the temp container —
     content column round-trip vs the partition sha256 digest already in
@@ -120,7 +177,7 @@ def encode_partition(
     pid = int(group.column("pkey")[0].as_py()) if "pkey" in group.column_names else 0
     data = group.drop_columns(["pkey"]) if "pkey" in group.column_names else group
     data = data.combine_chunks()  # shuffled groups arrive heavily chunked
-    data = lexsort(data)
+    data = lexsort(data) if sort_fn is None else sort_fn(data)
     timings["sort"] = time.time() - t0
 
     t1 = time.time()
@@ -163,7 +220,7 @@ def encode_partition(
         data,
         chunk_rows=slices,
         codec_overrides=codec_overrides,
-        extra={"partition_id": pid, "sort_keys": SORT_KEYS},
+        extra={"partition_id": pid, "sort_keys": sort_keys_label or SORT_KEYS},
         validator=validator,
     )
     timings["encode_write"] = time.time() - t1

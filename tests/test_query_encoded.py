@@ -570,3 +570,64 @@ def test_budgeted_empty_pages_are_typed(encoded):
     nonempty, _ = query_encoded_budgeted(OUT, columns=["repo", "path"])
     merged = pa.concat_tables([t, nonempty])  # must not raise
     assert merged.num_rows == nonempty.num_rows
+
+
+def test_zorder_clusters_prune_on_both_keys(tmp_path):
+    """Z-order (Morton) clustering: a store z-sorted on (lang, path)
+    prunes chunks for filters on EITHER key, where the default
+    (repo, path, commit) lexsort prunes neither (repo leads and is
+    uncorrelated with both probes); filtered results are identical."""
+    import glob
+
+    import numpy as np
+
+    from skar_ray.stages.encoder import encode_partition, zsort
+    from skar_ray.state import container
+    from skar_ray.state.container import _chunk_stats_of
+    from skar_ray.state.pruning import dnf_possible
+
+    rng = np.random.default_rng(1)
+    n = 20000
+    langs = ["go", "python", "rust", "ts", "java", "ruby", "c", "js"]
+    t = pa.table(
+        {
+            "repo": [f"org{i % 7}/repo{i % 13}" for i in range(n)],
+            "path": [f"src/dir{rng.integers(0, 50)}/f{i}.py" for i in range(n)],
+            "commit": [f"c{rng.integers(0, 1000):04d}" for i in range(n)],
+            "lang": [langs[rng.integers(0, 8)] for _ in range(n)],
+            "content": [f"line {i} " * rng.integers(5, 50) for i in range(n)],
+        }
+    )
+
+    def build(sort_fn, d):
+        os.makedirs(d)
+        encode_partition(t, str(d), chunk_target_bytes=64 << 10, sort_fn=sort_fn)
+        return glob.glob(str(d) + "/*.skarc")[0]
+
+    def kept(p, dnf):
+        header, _ = container.read_header(p)
+        return sum(1 for c in header["chunks"] if dnf_possible(_chunk_stats_of(c), dnf)), len(header["chunks"])
+
+    p_lex = build(None, tmp_path / "lex")
+    p_z = build(lambda tb: zsort(tb, ["lang", "path"]), tmp_path / "z")
+
+    for dnf in ([[("lang", "==", "go")]], [[("path", "prefix", "src/dir7/")]]):
+        kl, nl = kept(p_lex, dnf)
+        kz, nz = kept(p_z, dnf)
+        assert nl == nz and nl > 4, "need a multi-chunk store"
+        assert kl == nl, "lexsort must not prune these probes (fixture premise)"
+        assert kz < nl // 2, f"z-order must prune most chunks, kept {kz}/{nz} for {dnf}"
+        a = container.read_container(p_lex, columns=["repo", "path", "lang"], dnf=dnf, apply_dnf=True)
+        b = container.read_container(p_z, columns=["repo", "path", "lang"], dnf=dnf, apply_dnf=True)
+        ka = sorted(zip(*[a.column(c).to_pylist() for c in ["repo", "path", "lang"]]))
+        kb = sorted(zip(*[b.column(c).to_pylist() for c in ["repo", "path", "lang"]]))
+        assert ka == kb and len(ka) > 0
+
+    # round-trip stays bit-exact under the alternate clustering:
+    # decoded rows == source rows as multisets (order differs by design)
+    dec = container.read_container(p_z)
+    assert dec.num_rows == n
+    cols = ["repo", "path", "commit", "lang", "content"]
+    got = sorted(zip(*[dec.column(c).to_pylist() for c in cols]))
+    src = sorted(zip(*[t.column(c).to_pylist() for c in cols]))
+    assert got == src
