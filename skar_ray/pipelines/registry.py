@@ -200,7 +200,13 @@ def _zorder_store(sf_dir: str, cap: int = 5000) -> str:
     out = f"/tmp/skar_ray_encoded/zorder-n{n}"
     done = os.path.join(out, "_zdone.json")
     if os.path.exists(done):
-        return out
+        with open(done) as f:
+            marker = json.load(f)
+        # the corpus dir encodes n+seed+generator version — a regenerated
+        # corpus (v2->v3) must NOT be served from the stale store
+        if marker.get("corpus_dir") == d:
+            return out
+        shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     ds = ray.data.read_parquet(os.path.join(d, "corpus.parquet"))
 
@@ -222,7 +228,8 @@ def _zorder_store(sf_dir: str, cap: int = 5000) -> str:
     )
     tmp = done + f".tmp-{os.getpid()}"
     with open(tmp, "w") as f:
-        json.dump({"n_rows": int(summaries["n_rows"].sum()), "partitions": len(summaries)}, f)
+        json.dump({"n_rows": int(summaries["n_rows"].sum()),
+                   "partitions": len(summaries), "corpus_dir": d}, f)
     os.replace(tmp, done)
     return out
 
@@ -1644,7 +1651,10 @@ QUERIES: dict[str, tuple] = {
         # arbitrary assignment cannot change the result multiset.
         # count(DISTINCT rid) = distinct-DOCUMENT line frequency (the
         # engine dedupes lines per doc before counting).
-        f"""WITH docs AS (
+        f"""WITH docs AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: inlined, the two references below
+  -- would each run their own row_number() over a parallel scan and
+  -- could assign DIFFERENT rids to the same physical row
   SELECT row_number() OVER () AS rid, repo, path, "commit",
          string_split(content, chr(10)) AS ls
   FROM '{_CORPUS_GLOB_5K}'

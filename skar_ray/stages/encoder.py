@@ -220,7 +220,11 @@ def encode_partition(
         data,
         chunk_rows=slices,
         codec_overrides=codec_overrides,
-        extra={"partition_id": pid, "sort_keys": sort_keys_label or SORT_KEYS},
+        # honest lineage: an unlabeled custom sort must not claim the
+        # default lexsort keys the data is not clustered by
+        extra={"partition_id": pid,
+               "sort_keys": sort_keys_label
+               or (SORT_KEYS if sort_fn is None else ["custom"])},
         validator=validator,
     )
     timings["encode_write"] = time.time() - t1

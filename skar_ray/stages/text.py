@@ -483,8 +483,6 @@ def boilerplate_lines(
     """
     import ray
 
-    from .groups import bucketed_group_apply
-
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (every line is in >= 1 doc)")
 
@@ -495,19 +493,15 @@ def boilerplate_lines(
             {"h": vc.index.to_numpy(np.int64), "c": vc.to_numpy(np.int64)}
         )
 
-    def sum_h(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame(
-                {"h": pd.Series([], dtype="int64"), "c": pd.Series([], dtype="int64")}
-            )
-        return pd.DataFrame({"h": [int(g["h"].iloc[0])], "c": [int(g["c"].sum())]})
-
+    # native distributed groupby-sum: vectorized sort-exchange aggregate
+    # (a per-fine-group Python reduce here would pay one DataFrame
+    # construction per DISTINCT LINE in the corpus — unbounded, unlike
+    # pass 2 where the candidate set bounds it)
     cand_df = (
-        bucketed_group_apply(
-            ds.map_batches(count_partial, batch_format="pandas"), ["h"], sum_h
-        )
+        ds.map_batches(count_partial, batch_format="pandas")
+        .groupby("h").sum("c")
         .map_batches(
-            lambda b: b.loc[b["c"] >= min_docs, ["h"]], batch_format="pandas"
+            lambda b: b.loc[b["sum(c)"] >= min_docs, ["h"]], batch_format="pandas"
         )
         .to_pandas()
     )
@@ -534,23 +528,21 @@ def boilerplate_lines(
                 {"line": vc.index.to_numpy(object), "c": vc.to_numpy(np.int64)}
             )
 
-    def sum_line(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame(
-                {"line": pd.Series([], dtype="object"), "c": pd.Series([], dtype="int64")}
-            )
-        return pd.DataFrame({"line": [g["line"].iloc[0]], "c": [int(g["c"].sum())]})
-
     from ..runtime import pool_size
 
-    exact = bucketed_group_apply(
+    exact = (
         ds.map_batches(
             CandidateCount, fn_constructor_args=(cand_ref, text_col),
             batch_format="pandas", concurrency=pool_size(),
-        ),
-        ["line"], sum_line,
-    ).to_pandas()
-    out = exact.loc[exact["c"] >= min_docs].rename(columns={"c": "n_docs"})
+        )
+        .groupby("line").sum("c")
+        .to_pandas()
+    )
+    if "line" not in exact:  # all candidate partials empty
+        return pd.DataFrame(
+            {"line": pd.Series([], dtype="object"), "n_docs": pd.Series([], dtype="int64")}
+        )
+    out = exact.loc[exact["sum(c)"] >= min_docs].rename(columns={"sum(c)": "n_docs"})
     return (
         out.sort_values(["n_docs", "line"], ascending=[False, True])
         .reset_index(drop=True)
