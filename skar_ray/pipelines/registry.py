@@ -616,6 +616,15 @@ def chunk_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+def dup_span_stats(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr-family duplicated-span statistics over 4-token
+    grams (Lee et al. 2021): per doc the gram count, duplicated-gram
+    count (gram in >= 2 distinct docs) and longest duplicated run —
+    exact via the two-pass frequent-item skeleton (stages/text.py)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text.dup_span_stats(ds, k=4, min_docs=2)
+
+
 def heavy_hitters(sf_dir: str) -> pd.DataFrame:
     """Tokens holding ≥ 1/30 of the corpus token mass, exact counts via
     Misra-Gries partials + candidate recount (see stages/text.py)."""
@@ -1632,6 +1641,40 @@ QUERIES: dict[str, tuple] = {
         "  AS n_chunk_chars"
         " FROM documents CROSS JOIN generate_series(0, 15) gs(i)"
         " WHERE gs.i * 96 < length(text)",
+    ),
+    "dup_span_stats": (
+        dup_span_stats,
+        # grams via lockstep unnest of (position range, list_transform
+        # slices); duplicated = in >= 2 DISTINCT docs; max run via
+        # gaps-and-islands (i - row_number partitioned by doc & flag)
+        r"""WITH docs AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+), l AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS i,
+         unnest(list_transform(range(1, greatest(len(t) - 3, 0) + 1),
+                               p -> array_to_string(t[p:p+3], ' '))) AS g
+  FROM docs
+), dup AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS c FROM l GROUP BY g)
+  WHERE c >= 2
+), flag AS (
+  SELECT doc_id, i, CASE WHEN g IN (SELECT g FROM dup) THEN 1 ELSE 0 END AS d
+  FROM l
+), runs AS (
+  SELECT doc_id, d,
+         i - row_number() OVER (PARTITION BY doc_id, d ORDER BY i) AS grp
+  FROM flag
+), runlen AS (
+  SELECT doc_id, count(*) AS len FROM runs WHERE d = 1 GROUP BY doc_id, grp
+)
+SELECT dd.doc_id,
+       CAST(greatest(len(dd.t) - 3, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(a.nd, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(m.mr, 0) AS BIGINT) AS max_dup_run
+FROM docs dd
+LEFT JOIN (SELECT doc_id, sum(d) AS nd FROM flag GROUP BY doc_id) a USING (doc_id)
+LEFT JOIN (SELECT doc_id, max(len) AS mr FROM runlen GROUP BY doc_id) m USING (doc_id)""",
     ),
     "heavy_hitters": (
         heavy_hitters,

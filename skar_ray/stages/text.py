@@ -460,42 +460,51 @@ def _line_hashes(lines: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(lines).view(np.int64)
 
 
-def boilerplate_lines(
-    ds: "ray.data.Dataset", min_docs: int = 10, text_col: str = "content"
+def _frequent_items(
+    ds: "ray.data.Dataset", extract, min_docs: int
 ) -> pd.DataFrame:
-    """EXACT set of lines appearing in >= ``min_docs`` distinct
-    documents — the repeated-line boilerplate detector (license
-    headers, generated imports) of C4/RefinedWeb-style corpus cleaning.
+    """EXACT set of items appearing in >= ``min_docs`` distinct
+    documents, without the item vocabulary ever shipping anywhere —
+    the shared skeleton under ``boilerplate_lines`` (items = lines)
+    and ``dup_span_stats`` (items = k-token grams).
 
-    100 TB shape — the full line vocabulary never ships anywhere:
+    ``extract(batch) -> DataFrame['row', 'item']`` with one row per
+    DISTINCT item per document, so every count below is an exact
+    distinct-document count.
 
-    1. count by 64-bit line HASH: per-batch partials (hash, count) ride
-       the shared hash exchange (16 bytes per distinct line per batch),
-       candidates = hashes with count >= min_docs, a set bounded by
-       total_lines / min_docs (each candidate needs min_docs holders);
-    2. recount ONLY candidate lines by exact text (same exchange, text
-       confined to the bounded candidate set) — collisions from pass 1
-       are dropped here, so the result is exact.
+    1. count by 64-bit item HASH: per-batch partials (hash, count)
+       through the native distributed groupby-sum (a vectorized
+       sort-exchange; 16 bytes per distinct item per batch).
+       Candidates = hashes with count >= min_docs, bounded by
+       total_items / min_docs (each candidate needs min_docs holders);
+    2. recount ONLY candidate items by exact text (same exchange, text
+       confined to the bounded candidate set) — hash collisions from
+       pass 1 can only add strays, dropped here, so the result is
+       exact.
 
-    Returns (line, n_docs) sorted by (-n_docs, line).
+    Returns (item, n_docs) sorted by (-n_docs, item).
     Reference analog: the distinct-set index build feeding query
     pruning, /root/reference/skar/src/build_parquet_idx.rs:89-166.
     """
     import ray
 
     if min_docs < 2:
-        raise ValueError("min_docs must be >= 2 (every line is in >= 1 doc)")
+        raise ValueError("min_docs must be >= 2 (every item is in >= 1 doc)")
+
+    _EMPTY = pd.DataFrame(
+        {"item": pd.Series([], dtype="object"), "n_docs": pd.Series([], dtype="int64")}
+    )
 
     def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        d = _distinct_doc_lines(batch[text_col])
-        vc = pd.Series(_line_hashes(d["line"].to_numpy(object))).value_counts(sort=False)
+        d = extract(batch)
+        vc = pd.Series(_line_hashes(d["item"].to_numpy(object))).value_counts(sort=False)
         return pd.DataFrame(
             {"h": vc.index.to_numpy(np.int64), "c": vc.to_numpy(np.int64)}
         )
 
     # native distributed groupby-sum: vectorized sort-exchange aggregate
     # (a per-fine-group Python reduce here would pay one DataFrame
-    # construction per DISTINCT LINE in the corpus — unbounded, unlike
+    # construction per DISTINCT ITEM in the corpus — unbounded, unlike
     # pass 2 where the candidate set bounds it)
     cand_df = (
         ds.map_batches(count_partial, batch_format="pandas")
@@ -508,46 +517,58 @@ def boilerplate_lines(
     # an all-filtered Dataset can collect to a column-less frame
     cand = np.sort(cand_df["h"].to_numpy(np.int64)) if "h" in cand_df else np.array([], dtype=np.int64)
     if len(cand) == 0:
-        return pd.DataFrame(
-            {"line": pd.Series([], dtype="object"), "n_docs": pd.Series([], dtype="int64")}
-        )
+        return _EMPTY.copy()
     cand_ref = ray.put(cand)
 
     class CandidateCount:
-        def __init__(self, ref, col):
+        def __init__(self, ref):
             self.cand = ray.get(ref)  # broadcast: fetched once per actor
-            self.col = col
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            d = _distinct_doc_lines(batch[self.col])
-            h = _line_hashes(d["line"].to_numpy(object))
+            d = extract(batch)
+            h = _line_hashes(d["item"].to_numpy(object))
             pos = np.searchsorted(self.cand, h)
             pos[pos == len(self.cand)] = 0
-            vc = d.loc[self.cand[pos] == h, "line"].value_counts(sort=False)
+            vc = d.loc[self.cand[pos] == h, "item"].value_counts(sort=False)
             return pd.DataFrame(
-                {"line": vc.index.to_numpy(object), "c": vc.to_numpy(np.int64)}
+                {"item": vc.index.to_numpy(object), "c": vc.to_numpy(np.int64)}
             )
 
     from ..runtime import pool_size
 
     exact = (
         ds.map_batches(
-            CandidateCount, fn_constructor_args=(cand_ref, text_col),
+            CandidateCount, fn_constructor_args=(cand_ref,),
             batch_format="pandas", concurrency=pool_size(),
         )
-        .groupby("line").sum("c")
+        .groupby("item").sum("c")
         .to_pandas()
     )
-    if "line" not in exact:  # all candidate partials empty
-        return pd.DataFrame(
-            {"line": pd.Series([], dtype="object"), "n_docs": pd.Series([], dtype="int64")}
-        )
+    if "item" not in exact:  # all candidate partials empty
+        return _EMPTY.copy()
     out = exact.loc[exact["sum(c)"] >= min_docs].rename(columns={"sum(c)": "n_docs"})
     return (
-        out.sort_values(["n_docs", "line"], ascending=[False, True])
+        out.sort_values(["n_docs", "item"], ascending=[False, True])
         .reset_index(drop=True)
         .astype({"n_docs": "int64"})
     )
+
+
+def boilerplate_lines(
+    ds: "ray.data.Dataset", min_docs: int = 10, text_col: str = "content"
+) -> pd.DataFrame:
+    """EXACT set of lines appearing in >= ``min_docs`` distinct
+    documents — the repeated-line boilerplate detector (license
+    headers, generated imports) of C4/RefinedWeb-style corpus cleaning.
+    Scale shape: see ``_frequent_items`` (the line vocabulary never
+    ships anywhere).  Returns (line, n_docs) sorted by (-n_docs, line).
+    """
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        return _distinct_doc_lines(batch[text_col]).rename(columns={"line": "item"})
+
+    out = _frequent_items(ds, extract, min_docs)
+    return out.rename(columns={"item": "line"})
 
 
 def remove_boilerplate_lines(
@@ -589,3 +610,78 @@ def remove_boilerplate_lines(
         Clean, fn_constructor_args=(freq_ref, text_col),
         batch_format="pandas", concurrency=pool_size(),
     )
+
+
+def dup_span_stats(
+    ds: "ray.data.Dataset", k: int = 4, min_docs: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """ExactSubstr-style duplicated-span statistics (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    published suffix-array substring dedup, re-expressed over k-token
+    grams): a gram is DUPLICATED if it appears in >= ``min_docs``
+    DISTINCT documents; per document report ``n_grams``,
+    ``n_dup_grams`` (positions whose gram is duplicated) and
+    ``max_dup_run`` (longest consecutive run of duplicated positions —
+    the span a substring-dedup pass would cut).
+
+    Exact at any scale: the duplicated-gram set comes from
+    ``_frequent_items``' two-pass skeleton (hash-count exchange,
+    bounded candidate recount — the gram vocabulary never ships), then
+    ONE broadcast pass computes all three stats vectorized (bincount +
+    boundary-flag run detection; gram positions are consecutive within
+    a document by construction, so runs break only on a non-duplicated
+    gram or a row change)."""
+    import ray
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        rows, grams = kgram_positions(batch[text_col], k)
+        return pd.DataFrame({"row": rows, "item": grams}).drop_duplicates()
+
+    dup = _frequent_items(ds, extract, min_docs)
+    dup_ref = ray.put(frozenset(dup["item"]))
+
+    class SpanStats:
+        def __init__(self, ref, col, idc, kk):
+            self.dup = ray.get(ref)  # broadcast: fetched once per actor
+            self.col = col
+            self.idc = idc
+            self.k = kk
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.reset_index(drop=True)
+            rows, grams = kgram_positions(b[self.col], self.k)
+            n = len(b)
+            zeros = np.zeros(n, dtype=np.int64)
+            n_grams = np.bincount(rows, minlength=n).astype(np.int64) if len(rows) else zeros
+            max_run = zeros.copy()
+            n_dup = zeros.copy()
+            if len(grams):
+                m = pd.Series(grams).isin(self.dup).to_numpy()
+                if m.any():
+                    n_dup = np.bincount(rows[m], minlength=n).astype(np.int64)
+                    brk_prev = np.r_[True, (~m[:-1]) | (rows[1:] != rows[:-1])]
+                    brk_next = np.r_[(~m[1:]) | (rows[1:] != rows[:-1]), True]
+                    starts = np.flatnonzero(m & brk_prev)
+                    ends = np.flatnonzero(m & brk_next)
+                    runs = (
+                        pd.DataFrame({"row": rows[starts], "L": ends - starts + 1})
+                        .groupby("row")["L"].max()
+                    )
+                    max_run[runs.index.to_numpy()] = runs.to_numpy()
+            return pd.DataFrame(
+                {
+                    self.idc: b[self.idc].to_numpy(),
+                    "n_grams": n_grams,
+                    "n_dup_grams": n_dup,
+                    "max_dup_run": max_run,
+                }
+            )
+
+    from ..runtime import pool_size
+
+    out = ds.map_batches(
+        SpanStats, fn_constructor_args=(dup_ref, text_col, id_col, k),
+        batch_format="pandas", concurrency=pool_size(),
+    ).to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -572,3 +572,46 @@ def test_boilerplate_lines_match_bruteforce(ray_session):
 
     with pytest.raises(ValueError, match="min_docs"):
         text.boilerplate_lines(ray.data.from_pandas(df), min_docs=1)
+
+
+def test_dup_span_stats_match_bruteforce(ray_session):
+    """ExactSubstr-style duplicated k-gram spans vs a pure-python
+    reference: shared phrases across docs, docs shorter than k (zero
+    grams), docs with no duplicated grams, and run-length maxima."""
+    import ray.data
+
+    K = 3
+    docs = [
+        "the quick brown fox jumps over the lazy dog",     # shares phrase with 1
+        "a quick brown fox jumps over me",                 # shared run of grams
+        "totally unique words here only once ever",        # no dups
+        "tiny doc",                                        # shorter than k
+        "the quick brown fox appears again quick brown fox jumps",  # internal repeat
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+    from collections import Counter
+
+    cnt = Counter()
+    for s in docs:
+        toks = s.split()
+        for g in {" ".join(toks[i:i + K]) for i in range(len(toks) - K + 1)}:
+            cnt[g] += 1
+    dup = {g for g, c in cnt.items() if c >= 2}
+    assert dup and any(c == 1 for c in cnt.values()), "fixture needs both classes"
+
+    got = text.dup_span_stats(ray.data.from_pandas(df), k=K, min_docs=2)
+    assert list(got["doc_id"]) == list(range(len(docs)))
+    for r in got.itertuples():
+        toks = docs[r.doc_id].split()
+        grams = [" ".join(toks[i:i + K]) for i in range(max(0, len(toks) - K + 1))]
+        flags = [g in dup for g in grams]
+        mx = run = 0
+        for f in flags:
+            run = run + 1 if f else 0
+            mx = max(mx, run)
+        assert r.n_grams == len(grams)
+        assert r.n_dup_grams == sum(flags)
+        assert r.max_dup_run == mx
+    assert got.loc[3, "n_grams"] == 0 and got.loc[3, "max_dup_run"] == 0
+    assert got.loc[2, "n_dup_grams"] == 0
