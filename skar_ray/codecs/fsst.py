@@ -20,8 +20,10 @@ Because the whole concatenated value buffer is encoded in one pass
 (symbols may span row boundaries — decode restores the exact byte
 stream), row boundaries are carried by the original lengths,
 FoR+bit-packed separately.  Training is vectorised (sliding-window
-``np.unique`` n-gram counting); encoding uses one compiled regex
-alternation (C-speed scan); decoding is a vectorised padded-gather.
+``np.unique`` n-gram counting); encoding is a hybrid of a short
+``bytes.replace`` chain (top-gain symbols) and one Aho-Corasick scan
+(polars ``str.replace_many``) for the tail; decoding is a vectorised
+padded-gather.
 """
 
 from __future__ import annotations
@@ -256,6 +258,7 @@ class SymbolTable:
         if chain is None:
             chain = sorted((s for s in symbols if len(s) > 1), key=len, reverse=True)
         self._multi = [(s, bytes((self.code_of[s],))) for s in chain if len(s) > 1]
+        self._ac = None  # lazily-built polars Aho-Corasick tail (encode only)
         self._hi_lut = np.arange(256, dtype=np.uint8)
         self._needs_escape = np.zeros(256, dtype=bool)
         self._needs_escape[0x80:] = True
@@ -295,19 +298,60 @@ class SymbolTable:
     # replace chain is the encode's DRAM-heaviest window — piece size
     # trades L1/L2 residency against per-piece chain overhead)
     _PIECE = int(os.environ.get("SKAR_FSST_PIECE", 64 << 10))
+    # hybrid split: the top-K realized-gain symbols run as bytes.replace
+    # passes (their per-pass cost buys the most bytes); the rest apply
+    # in ONE Aho-Corasick scan (polars str.replace_many, Rust).  The AC
+    # pass uses aho-corasick *standard* (earliest-end) match semantics,
+    # under which short symbols preempt longer overlapping ones — so it
+    # cannot carry the HIGH-gain long symbols (measured: pure-AC ratio
+    # 0.423 vs chain 0.370) but applies the low-gain tail essentially
+    # free.  Measured on the 33.6 MB corpus content column (BENCH.md
+    # r5 kernel A/B): K=12 → 31.8 MB/s at +1.0% post-zstd footprint vs
+    # the 44-pass chain's 17.6 MB/s.  K >= len(chain) restores the pure
+    # chain; K=0 is the fastest/loosest point (47 MB/s, +5.8%).
+    _CHAIN_K = int(os.environ.get("SKAR_FSST_CHAIN_K", 12))
+
+    def _ac_tail(self):
+        """(patterns, replacements) for the AC tail pass, built once.
+
+        Falls back to None (pure chain) when polars is unavailable.
+        Patterns are latin-1-decoded so one byte == one char: symbols
+        are pure ASCII and replacement codes 0x80..0xFE are valid
+        single chars, and the scan's input already carries code bytes
+        (>= 0x80) that no ASCII pattern can span — the same safety
+        argument as the chain, minus re-scanning (AC never re-scans
+        its own replacements)."""
+        if self._ac is None:
+            tail = self._multi[self._CHAIN_K :]
+            if not tail:
+                self._ac = ()
+            else:
+                try:  # tables ship through Ray: cache strings, not modules
+                    import polars  # noqa: F401  baked-in dependency; guarded anyway
+                except ImportError:  # pragma: no cover - polars is baked in
+                    self._ac = ()
+                    return self._ac
+                self._ac = (
+                    [s.decode("latin-1") for s, _ in tail],
+                    [c.decode("latin-1") for _, c in tail],
+                )
+        return self._ac
 
     def encode_buffer(self, data: bytes) -> bytes:
-        """Two passes, no per-match Python:
+        """Three passes, no per-match Python:
         1. vectorised high-byte pass — map single-byte high symbols to
            their codes (LUT) and splice escape markers before the rest;
-        2. a ``bytes.replace`` chain for the ASCII multi-byte symbols
-           (each replace is a C-speed scan; safety argument in
-           ``__init__``), run over ~64 KiB pieces so all ~127 passes
-           stay L2-resident — on a whole multi-MB buffer the chain is
+        2. a ``bytes.replace`` chain for the top-K realized-gain ASCII
+           symbols (each replace is a C-speed scan; safety argument in
+           ``__init__``), run over ~64 KiB pieces so the passes stay
+           L2-resident — on a whole multi-MB buffer the chain is
            memory-bandwidth-bound and parallel workers fight for DRAM
            (measured 2× faster per core, near-linear at 32 workers).
            A symbol spanning a piece boundary is simply left literal —
-           bit-exact either way, ratio loss < 0.1%."""
+           bit-exact either way, ratio loss < 0.1%;
+        3. one Aho-Corasick scan (polars ``str.replace_many``) applying
+           the remaining tail symbols in a single pass over the whole
+           buffer (see ``_ac_tail`` for semantics and safety)."""
         if not data:
             return data
         arr = np.frombuffer(data, dtype=np.uint8)
@@ -321,18 +365,29 @@ class SymbolTable:
             data = _escape_splice(
                 self._hi_lut[arr], np.flatnonzero(self._needs_escape[arr])
             )
-        multi = self._multi
+        ac = self._ac_tail()
+        multi = self._multi if not ac else self._multi[: self._CHAIN_K]
         if len(data) <= self._PIECE:
             for sym, code in multi:
                 data = data.replace(sym, code)
-            return data
-        out = []
-        for s in range(0, len(data), self._PIECE):
-            piece = data[s : s + self._PIECE]
-            for sym, code in multi:
-                piece = piece.replace(sym, code)
-            out.append(piece)
-        return b"".join(out)
+        else:
+            out = []
+            for s in range(0, len(data), self._PIECE):
+                piece = data[s : s + self._PIECE]
+                for sym, code in multi:
+                    piece = piece.replace(sym, code)
+                out.append(piece)
+            data = b"".join(out)
+        if ac:
+            import polars as pl
+
+            pats, reps = ac
+            data = (
+                pl.Series([data.decode("latin-1")])
+                .str.replace_many(pats, reps)[0]
+                .encode("latin-1")
+            )
+        return data
 
     # ------------------------------------------------------------ decode
 
