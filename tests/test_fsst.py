@@ -112,3 +112,31 @@ def test_escape_splice_matches_np_insert_across_densities():
         idx = np.flatnonzero(esc)
         want = np.insert(mapped, idx, ESCAPE).tobytes()
         assert _escape_splice(mapped, idx) == want, frac
+
+
+def test_hybrid_chain_split_roundtrips_at_every_k():
+    """The encode kernel splits the trained chain into top-K
+    bytes.replace passes + one Aho-Corasick tail scan; the split point
+    must never affect decode exactness (only ratio/speed).  Pin K=0
+    (pure AC), the default, a mid split, and K past the chain length
+    (pure chain), on data with high bytes, escapes, and repeats."""
+    from skar_ray.codecs.fsst import FsstCodec
+
+    data = (
+        b"for i in range(10): print(values[i], end=' ')\n" * 400
+        + bytes(range(256)) * 20
+        + b"return self._cache.get(key, default)\n" * 300
+    )
+    codec = FsstCodec()
+    table = codec.make_table(data)
+    assert table._multi, "expected multi-byte symbols on this input"
+    baseline = None
+    for k in (0, 3, 12, 10_000):
+        table._CHAIN_K = k
+        table._ac = None  # rebuilt for the new split
+        enc = table.encode_buffer(data)
+        assert table.decode_buffer(enc) == data, k
+        if baseline is None:
+            baseline = len(enc)
+        # every split must still compress (tail or head covers the chain)
+        assert len(enc) < len(data)
