@@ -434,7 +434,11 @@ class SymbolTable:
 class FsstCodec:
     name = "fsst"
 
-    def __init__(self, sample_bytes: int = 1 << 17):
+    # 64 KiB sampled as 16 stride pieces: swept 32/48/64/128 KiB × 8/16/32
+    # pieces on three 11 MB corpus partitions (BENCH.md r5 addendum 2) —
+    # 64 KiB/16 trains 2× faster than the prior 128 KiB at equal-or-better
+    # ratio (payload 0.394 vs 0.405, post-zstd 0.0453 vs 0.0455)
+    def __init__(self, sample_bytes: int = 1 << 16):
         self.sample_bytes = sample_bytes
 
     def can_encode(self, t: pa.DataType) -> bool:
