@@ -33,8 +33,6 @@ import os
 import numpy as np
 import pyarrow as pa
 
-_GATHER_BYTES = int(os.environ.get("SKAR_FSST_GATHER", 1 << 21))
-
 from . import base
 from .for_bitpack import pack_ints_with_reference, unpack_ints_with_reference
 
@@ -268,21 +266,17 @@ class SymbolTable:
                 self._hi_lut[s[0]] = FIRST_CODE + i
                 self._needs_escape[s[0]] = False
                 self._hi_identity = False
-        # decode tables: padded symbol matrix + lengths, indexed by code;
-        # width follows the LONGEST actual symbol (gather cost scales
-        # with width, so don't pay for the training cap)
-        width = max((len(s) for s in symbols), default=1)
-        pad = np.zeros((256, width), dtype=np.uint8)
-        lens = np.zeros(256, dtype=np.int64)
-        for b in range(0x80):
-            pad[b, 0] = b
-            lens[b] = 1
+        # decode table: a 256-entry variable-length binary Arrow array,
+        # code -> symbol bytes.  ``pc.take(sym_arr, codes)`` materializes
+        # the concatenated expansion directly in its value buffer (an
+        # Arrow BinaryArray's data buffer IS its values in order), so
+        # decode touches exactly output-size bytes — measured 4.4×
+        # faster than the prior padded mask-gather, whose cost scaled
+        # with the LONGEST symbol width (BENCH.md r5 addendum 2).
+        expand = [bytes((b,)) for b in range(0x80)] + [b""] * 128
         for i, s in enumerate(symbols):
-            a = np.frombuffer(s, dtype=np.uint8)
-            pad[FIRST_CODE + i, : len(a)] = a
-            lens[FIRST_CODE + i] = len(a)
-        self._pad = pad
-        self._lens = lens
+            expand[FIRST_CODE + i] = s
+        self._sym_arr = pa.array(expand, type=pa.binary())
 
     def serialize(self) -> bytes:
         return base.pack_sections(*self.symbols) if self.symbols else base.pack_sections()
@@ -392,19 +386,21 @@ class SymbolTable:
     # ------------------------------------------------------------ decode
 
     def _expand(self, codes: np.ndarray) -> bytes:
-        """Vectorised expansion of an escape-free code segment."""
+        """Vectorised expansion of an escape-free code segment via one
+        Arrow take (see ``__init__``).  Chunked only to bound the int32
+        offsets buffer of the take result (4 bytes/code)."""
         if len(codes) == 0:
             return b""
+        import pyarrow.compute as pc
+
         out = []
-        width = self._pad.shape[1]
-        # keep the gather matrix ~2 MB (env-overridable for the
-        # scaling-contention experiments, see BENCH.md)
-        CH = max(1 << 14, _GATHER_BYTES // width)
+        CH = 1 << 22  # 4M codes/chunk -> 16 MB offsets temp
         for s in range(0, len(codes), CH):
-            seg = codes[s : s + CH]
-            lens = self._lens[seg]
-            mask = np.arange(width) < lens[:, None]
-            out.append(self._pad[seg][mask].tobytes())
+            taken = pc.take(self._sym_arr, pa.array(codes[s : s + CH]))
+            offs = np.frombuffer(taken.buffers()[1], np.int32)
+            lo = int(offs[taken.offset])
+            hi = int(offs[taken.offset + len(taken)])
+            out.append(memoryview(taken.buffers()[2])[lo:hi].tobytes())
         return b"".join(out)
 
     def decode_buffer(self, enc: bytes) -> bytes:
