@@ -362,6 +362,34 @@ def query_encoded_documents(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def query_encoded_contains(sf_dir: str) -> pd.DataFrame:
+    """Substring (``LIKE '%..%'``) predicates over the ENCODED store —
+    the skar DNF surface extended with a ``contains`` op.  One needle
+    hits the FSST-coded high-cardinality ``text`` column (decode +
+    ``pc.match_substring``), the other hits the dict-coded ``source``
+    column where it evaluates on the dictionary VALUES only, and
+    partitions whose exact distinct sets lack the needle prune without
+    a read (state/pruning.py::clause_possible)."""
+    from .encode_job import run_encode_job
+    from .query_encoded import query_encoded
+
+    out = tempfile.mkdtemp(prefix="skar_qenc_contains_")
+    try:
+        run_encode_job(
+            f"{sf_dir}/documents.parquet", out, mode="sharded",
+            chunk_target_bytes=256 << 10, resume=False,
+        )
+        res = query_encoded(
+            out,
+            columns=["doc_id", "lang", "source", "n_chars"],
+            filters=[[("text", "contains", "merge batch"), ("lang", "==", "en")],
+                     [("source", "contains", "7"), ("n_chars", "<", 300)]],
+        ).to_pandas()
+        return res.sort_values("doc_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def query_encoded_join(sf_dir: str) -> pd.DataFrame:
     """Cross-TABLE semi-join over two ENCODED stores — the reference's
     core query shape: its engine answers every query by propagating key
@@ -1820,6 +1848,12 @@ GROUP BY m.rid, m.repo, m.path, m."commit", m.n_lines""",
         query_encoded_documents,
         "SELECT doc_id, lang, source, n_chars FROM documents "
         "WHERE (lang = 'en' AND n_chars >= 400) OR (source = 'src7' AND n_chars < 150)",
+    ),
+    "query_encoded_contains": (
+        query_encoded_contains,
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "WHERE (text LIKE '%merge batch%' AND lang = 'en') "
+        "OR (source LIKE '%7%' AND n_chars < 300)",
     ),
     "derive_column_documents": (
         derive_column_documents,

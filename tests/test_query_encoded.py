@@ -631,3 +631,38 @@ def test_zorder_clusters_prune_on_both_keys(tmp_path):
     got = sorted(zip(*[dec.column(c).to_pylist() for c in cols]))
     src = sorted(zip(*[t.column(c).to_pylist() for c in cols]))
     assert got == src
+
+
+def test_contains_op_matches_source_and_prunes(encoded):
+    """`contains` (substring) predicates: exact vs the raw table on both
+    a dict/rle-coded column (dictionary-only evaluation) and the
+    FSST-coded content column (decode + pc.match_substring), and the
+    exact distinct sets prune partitions whose values lack the needle."""
+    src = read_corpus_table(encoded)
+    want = src.filter(
+        pc.or_(
+            pc.match_substring(src["lang"], "ython"),
+            pc.and_(
+                pc.match_substring(src["content"], "return"),
+                pc.match_substring(src["path"], "/"),
+            ),
+        )
+    ).num_rows
+    got = query_encoded(
+        OUT, columns=["repo", "path", "lang"],
+        filters=[[("lang", "contains", "ython")],
+                 [("content", "contains", "return"), ("path", "contains", "/")]],
+    ).count()
+    assert got == want
+
+    # distinct-set pruning: a needle absent from every lang prunes all
+    from skar_ray.state.pruning import clause_possible
+    manifests = manifest_mod.scan_manifests(OUT)
+    stats = [m.extra.get("stats", {}).get("lang", {}) for m in manifests.values()]
+    assert all(s.get("distinct") for s in stats), "lang should carry distinct sets"
+    assert not any(clause_possible(s, "contains", "no-such-needle") for s in stats)
+    assert any(clause_possible(s, "contains", "ython") for s in stats)
+    empty = query_encoded(
+        OUT, columns=["repo"], filters=[[("lang", "contains", "no-such-needle")]]
+    ).count()
+    assert empty == 0
