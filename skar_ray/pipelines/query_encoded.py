@@ -14,9 +14,10 @@ DNF selections → project (/root/reference/skar/src/query/handler.rs:
 Filter language (DNF, mirroring skar's OR-of-selections / AND-within,
 net-types/src/lib.rs:13-54): ``[[(col, op, value), ...], ...]`` —
 outer list OR, inner list AND; ops: ``== != in >= > <= < prefix
-contains`` (``contains`` = substring match; evaluated on the encoded
-form for dict/rle columns — only the dictionary values decode — and
-partition-pruned via the exact distinct sets).
+contains suffix`` (``contains``/``suffix`` = substring / ends-with;
+evaluated on the encoded form for dict/rle columns — only the
+dictionary values decode — and partition-pruned via the exact
+distinct sets).
 """
 
 from __future__ import annotations

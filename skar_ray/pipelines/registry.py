@@ -363,13 +363,14 @@ def query_encoded_documents(sf_dir: str) -> pd.DataFrame:
 
 
 def query_encoded_contains(sf_dir: str) -> pd.DataFrame:
-    """Substring (``LIKE '%..%'``) predicates over the ENCODED store —
-    the skar DNF surface extended with a ``contains`` op.  One needle
-    hits the FSST-coded high-cardinality ``text`` column (decode +
-    ``pc.match_substring``), the other hits the dict-coded ``source``
-    column where it evaluates on the dictionary VALUES only, and
-    partitions whose exact distinct sets lack the needle prune without
-    a read (state/pruning.py::clause_possible)."""
+    """Substring/suffix (``LIKE '%..%'`` / ``LIKE '%..'``) predicates
+    over the ENCODED store — the skar DNF surface extended with
+    ``contains`` and ``suffix`` ops.  One needle hits the FSST-coded
+    high-cardinality ``text`` column (decode + ``pc.match_substring`` /
+    ``pc.ends_with``), another hits the dict-coded ``source`` column
+    where it evaluates on the dictionary VALUES only, and partitions
+    whose exact distinct sets lack the needle prune without a read
+    (state/pruning.py::clause_possible)."""
     from .encode_job import run_encode_job
     from .query_encoded import query_encoded
 
@@ -383,7 +384,8 @@ def query_encoded_contains(sf_dir: str) -> pd.DataFrame:
             out,
             columns=["doc_id", "lang", "source", "n_chars"],
             filters=[[("text", "contains", "merge batch"), ("lang", "==", "en")],
-                     [("source", "contains", "7"), ("n_chars", "<", 300)]],
+                     [("source", "contains", "7"), ("n_chars", "<", 300)],
+                     [("text", "suffix", "sort"), ("lang", "!=", "en")]],
         ).to_pandas()
         return res.sort_values("doc_id").reset_index(drop=True)
     finally:
@@ -1853,7 +1855,8 @@ GROUP BY m.rid, m.repo, m.path, m."commit", m.n_lines""",
         query_encoded_contains,
         "SELECT doc_id, lang, source, n_chars FROM documents "
         "WHERE (text LIKE '%merge batch%' AND lang = 'en') "
-        "OR (source LIKE '%7%' AND n_chars < 300)",
+        "OR (source LIKE '%7%' AND n_chars < 300) "
+        "OR (text LIKE '%sort' AND lang <> 'en')",
     ),
     "derive_column_documents": (
         derive_column_documents,

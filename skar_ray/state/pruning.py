@@ -37,6 +37,8 @@ def clause_compute(a, op: str, value):
         return pc.starts_with(a, pattern=value)
     if op == "contains":
         return pc.match_substring(a, pattern=value)
+    if op == "suffix":
+        return pc.ends_with(a, pattern=value)
     raise ValueError(f"unknown op {op}")
 
 
@@ -148,12 +150,15 @@ def clause_possible(st: dict, op: str, value) -> bool:
         if not isinstance(v, str) or not isinstance(lo, str):
             return True
         return lo[: len(v)] <= v <= hi[: len(v)]
-    if op == "contains":
-        # min/max can't bound a substring match, but the exact distinct
-        # list (kept for low-cardinality string columns) can: prune the
-        # partition when no stored value contains the needle
+    if op in ("contains", "suffix"):
+        # min/max can't bound a substring/suffix match, but the exact
+        # distinct list (kept for low-cardinality string columns) can:
+        # prune the partition when no stored value matches the needle
         if distinct is not None and isinstance(value, str):
-            return any(isinstance(d, str) and value in d for d in distinct)
+            hit = (lambda d: value in d) if op == "contains" else (
+                lambda d: d.endswith(value)
+            )
+            return any(isinstance(d, str) and hit(d) for d in distinct)
         return True
     if lo is None:
         return True

@@ -655,6 +655,16 @@ def test_contains_op_matches_source_and_prunes(encoded):
     ).count()
     assert got == want
 
+    # suffix op, dict column (encoded-form) and high-cardinality path
+    want_sfx = src.filter(
+        pc.or_(pc.ends_with(src["lang"], "ust"), pc.ends_with(src["path"], ".py"))
+    ).num_rows
+    got_sfx = query_encoded(
+        OUT, columns=["repo"],
+        filters=[[("lang", "suffix", "ust")], [("path", "suffix", ".py")]],
+    ).count()
+    assert got_sfx == want_sfx
+
     # distinct-set pruning: a needle absent from every lang prunes all
     from skar_ray.state.pruning import clause_possible
     manifests = manifest_mod.scan_manifests(OUT)
