@@ -296,6 +296,31 @@ def store_filtered_group_count_corpus(sf_dir: str) -> pd.DataFrame:
     return res.rename(columns={"value": "repo"})
 
 
+def store_group_minmax_documents(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY lang → COUNT/MIN/MAX/SUM(n_chars) answered entirely on
+    the ENCODED form of a documents store: lang stays a dict/rle code
+    stream, n_chars stays the FoR-packed int stream
+    (state/container.py::encoded_int_values) — no Arrow column ever
+    materializes; sums are int64-exact end-to-end
+    (stats.store_group_minmax_sum)."""
+    from .encode_job import run_encode_job
+    from .stats import store_group_minmax_sum
+
+    out = tempfile.mkdtemp(prefix="skar_group_minmax_")
+    try:
+        run_encode_job(
+            f"{sf_dir}/documents.parquet", out, mode="sharded",
+            chunk_target_bytes=256 << 10, resume=False,
+        )
+        res = store_group_minmax_sum(out, "lang", "n_chars")
+        return res.rename(columns={
+            "value": "lang", "sum_v": "sum_chars",
+            "min_v": "min_chars", "max_v": "max_chars",
+        })
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _text_len_col(t: pa.Table) -> pa.Array:
     import pyarrow.compute as pc
 
@@ -1882,6 +1907,14 @@ GROUP BY m.rid, m.repo, m.path, m."commit", m.n_lines""",
         # proves the encoded-form (dict/rle pushdown) counts are exact
         f"SELECT lang, CAST(count(*) AS BIGINT) AS n FROM '{_CORPUS_GLOB_20K}' "
         "GROUP BY lang",
+    ),
+    "store_group_minmax": (
+        store_group_minmax_documents,
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+        "CAST(min(n_chars) AS BIGINT) AS min_chars, "
+        "CAST(max(n_chars) AS BIGINT) AS max_chars "
+        "FROM documents GROUP BY lang",
     ),
     "store_group_bytes": (
         store_group_bytes_corpus,

@@ -242,6 +242,103 @@ def store_group_pair_count(out_dir: str, col_a: str, col_b: str) -> pd.DataFrame
     return out.sort_values([col_a, col_b]).reset_index(drop=True).astype({"n": "int64"})
 
 
+def store_group_minmax_sum(out_dir: str, group_col: str, value_col: str) -> pd.DataFrame:
+    """GROUP BY ``group_col`` → COUNT(*), MIN/MAX/SUM(``value_col``)
+    over an encoded store with the whole aggregation on the ENCODED
+    form: group keys from the dict/rle code streams
+    (``encoded_group_codes``), int values straight from the FoR-packed
+    stream (``encoded_int_values``) — no Arrow column materializes.
+    Sums stay int64 end-to-end (``np.add.at`` on an int64 accumulator,
+    never float weights); min/max via ``np.minimum.at``/``maximum.at``
+    over dictionary-sized accumulators.  Decode fallbacks keep
+    exactness for unsupported codecs; one Ray task per partition,
+    value-cardinality-sized merges."""
+    import ray
+
+    from ..codecs import auto
+    from ..state import container
+
+    ms = manifest_mod.scan_manifests(out_dir)
+
+    @ray.remote
+    def part_aggs(path: str) -> dict:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        header, blob_start = container.read_header(path)
+        agg: dict = {}
+        with open(path, "rb") as f:
+
+            def blob_of(cm):
+                f.seek(blob_start + cm["offset"])
+                return f.read(cm["length"])
+
+            for ch in header["chunks"]:
+                metas = {cm["name"]: cm for cm in ch["columns"]}
+                gcm, vcm = metas[group_col], metas[value_col]
+                gc = container.encoded_group_codes(blob_of(gcm), gcm)
+                if gc is None:  # fallback: decode group keys + factorize
+                    arr = auto.decode_column(
+                        blob_of(gcm), gcm["meta"], gcm["page"], gcm["payload_len"]
+                    )
+                    enc = pc.dictionary_encode(arr)
+                    codes, dict_vals = np.asarray(enc.indices).astype(np.int64), enc.dictionary
+                else:
+                    codes, dict_vals = gc
+                vals = container.encoded_int_values(blob_of(vcm), vcm)
+                if vals is None:  # fallback: decode values
+                    varr = auto.decode_column(
+                        blob_of(vcm), vcm["meta"], vcm["page"], vcm["payload_len"]
+                    )
+                    vals = np.asarray(varr).astype(np.int64)
+                k = len(dict_vals)
+                n_rows = np.bincount(codes, minlength=k)
+                sums = np.zeros(k, dtype=np.int64)
+                np.add.at(sums, codes, vals)
+                mins = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+                maxs = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
+                np.minimum.at(mins, codes, vals)
+                np.maximum.at(maxs, codes, vals)
+                for i, v in enumerate(dict_vals.to_pylist()):
+                    if n_rows[i]:
+                        cur = agg.get(v)
+                        rec = (int(n_rows[i]), int(sums[i]), int(mins[i]), int(maxs[i]))
+                        if cur is None:
+                            agg[v] = rec
+                        else:
+                            agg[v] = (
+                                cur[0] + rec[0],
+                                cur[1] + rec[1],
+                                min(cur[2], rec[2]),
+                                max(cur[3], rec[3]),
+                            )
+        return agg
+
+    refs = [
+        part_aggs.remote(os.path.join(out_dir, m.data_file))
+        for _, m in sorted(ms.items())
+    ]
+    total: dict = {}
+    for agg in ray.get(refs):
+        for v, rec in agg.items():
+            cur = total.get(v)
+            total[v] = rec if cur is None else (
+                cur[0] + rec[0], cur[1] + rec[1], min(cur[2], rec[2]), max(cur[3], rec[3])
+            )
+    out = pd.DataFrame(
+        {
+            "value": list(total.keys()),
+            "n": [r[0] for r in total.values()],
+            "sum_v": [r[1] for r in total.values()],
+            "min_v": [r[2] for r in total.values()],
+            "max_v": [r[3] for r in total.values()],
+        }
+    )
+    return out.sort_values("value").reset_index(drop=True).astype(
+        {"n": "int64", "sum_v": "int64", "min_v": "int64", "max_v": "int64"}
+    )
+
+
 def store_filtered_group_count(out_dir: str, group_col: str, dnf) -> pd.DataFrame:
     """WHERE <dnf> GROUP BY ``group_col`` → COUNT(*) with BOTH the
     filter and the aggregation evaluated on the encoded form: chunks

@@ -502,6 +502,24 @@ def encoded_byte_lengths(blob: bytes, cm: dict) -> "np.ndarray | None":
     return val_lens[codes]
 
 
+def encoded_int_values(blob: bytes, cm: dict) -> "np.ndarray | None":
+    """Int64 values of a numeric column straight from the encoded form:
+    for_bitpack unpacks its rebased FoR stream without Arrow
+    materialization — the value-side feed for grouped min/max/sum
+    pushdown (the same stream ``encoded_clause_mask`` compares against).
+    None when the codec/meta doesn't support it (caller decodes —
+    exact either way)."""
+    from ..codecs import base as cbase
+    from ..codecs.for_bitpack import unpack_ints_with_reference
+
+    meta = cm["meta"]
+    if meta.get("has_nulls") or cm["codec"] != "for_bitpack":
+        return None
+    payload = auto.page_decompress(blob, cm["page"], cm["payload_len"])
+    _nulls, body = cbase.unpack_sections(payload)
+    return unpack_ints_with_reference(body, meta, meta["n"])
+
+
 def encoded_value_counts(blob: bytes, cm: dict) -> "dict | None":
     """Per-value row counts computed directly on the ENCODED form —
     aggregate pushdown, the GROUP-BY analog of ``encoded_clause_mask``:

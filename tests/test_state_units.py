@@ -289,3 +289,52 @@ def test_encoded_byte_lengths_all_string_codecs(ray_session):
                     want = np.asarray(pc.binary_length(arr)).astype(np.int64)
                     assert np.array_equal(lens, want), (cm["name"], cm["codec"])
     assert {"rle", "dict", "fsst", "plain"} <= seen
+
+
+def test_encoded_int_values_matches_decode(ray_session):
+    """encoded_int_values must hand back the exact int64 stream for
+    for_bitpack chunks (the grouped min/max/sum pushdown's value feed)
+    and decline (None) for codecs it doesn't cover."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from skar_ray.codecs import auto
+    from skar_ray.pipelines.encode_job import run_encode_job
+    from skar_ray.state import container
+    from skar_ray.state import manifest as manifest_mod
+
+    out = tempfile.mkdtemp(prefix="skar_intvals_")
+    try:
+        run_encode_job(
+            "/root/testdata/sf0.001/documents.parquet", out, mode="sharded",
+            chunk_target_bytes=64 << 10, resume=False,
+        )
+        ms = manifest_mod.scan_manifests(out)
+        checked = 0
+        for _, m in sorted(ms.items()):
+            path = os.path.join(out, m.data_file)
+            header, blob_start = container.read_header(path)
+            with open(path, "rb") as f:
+                for ch in header["chunks"]:
+                    for cm in ch["columns"]:
+                        if cm["name"] != "n_chars":
+                            continue
+                        f.seek(blob_start + cm["offset"])
+                        blob = f.read(cm["length"])
+                        vals = container.encoded_int_values(blob, cm)
+                        arr = auto.decode_column(
+                            blob, cm["meta"], cm["page"], cm["payload_len"]
+                        )
+                        want = np.asarray(arr).astype(np.int64)
+                        if cm["codec"] == "for_bitpack":
+                            assert vals is not None
+                            assert np.array_equal(vals, want)
+                            checked += 1
+                        elif vals is not None:  # any other supported codec must agree too
+                            assert np.array_equal(vals, want)
+        assert checked > 0, "expected at least one for_bitpack n_chars chunk"
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
