@@ -130,21 +130,7 @@ def capped_pairs(ids: list, window: int = 8) -> list[tuple]:
 _BROADCAST_PAIR_LIMIT = 50_000
 _BROADCAST_ID_LIMIT = 100_000
 
-# Per-worker-process cache for broadcast objects referenced from
-# task-pool closures.  Actor pools amortize ray.get in __init__ but pay
-# ~1 s pool spin-up per pipeline (measured; warm task workers run the
-# same stage in 0.2 s); task closures instead re-deserialize the ref
-# every task — this cache gives task pools the actor amortization.
-_REF_CACHE: dict = {}
-
-
-def _cached_get(ref):
-    key = ref.hex()
-    if key not in _REF_CACHE:
-        if len(_REF_CACHE) > 8:
-            _REF_CACHE.clear()
-        _REF_CACHE[key] = ray.get(ref)
-    return _REF_CACHE[key]
+from .groups import cached_get as _cached_get  # noqa: E402  (shared per-process broadcast cache)
 
 
 @ray.remote(num_returns=3)

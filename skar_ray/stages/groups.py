@@ -32,6 +32,23 @@ import ray.data
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
+# Per-worker-process cache for broadcast objects referenced from
+# task-pool closures.  Actor pools amortize ray.get in __init__ but pay
+# ~1 s pool spin-up per pipeline (measured; warm task workers run the
+# same stage in 0.2 s); task closures instead re-deserialize the ref
+# every task — this cache gives task pools the actor amortization.
+# (Shared home; stages/dedup.py re-exports it.)
+_REF_CACHE: dict = {}
+
+
+def cached_get(ref):
+    key = ref.hex()
+    if key not in _REF_CACHE:
+        if len(_REF_CACHE) > 8:
+            _REF_CACHE.clear()
+        _REF_CACHE[key] = ray.get(ref)
+    return _REF_CACHE[key]
+
 
 def _coarse_hash(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
     h = np.zeros(len(df), dtype=np.uint64)
@@ -99,6 +116,69 @@ def _reduce_bucket(keys: list[str], fn, min_group_size: int, *parts) -> "pa.Tabl
 @ray.remote
 def _n_rows(t) -> int:
     return t.num_rows
+
+
+@ray.remote
+def _reduce_sum_bucket(keys: list[str], vals: list[str], *parts) -> "pa.Table":
+    import pyarrow as pa
+
+    df = pd.concat([p.to_pandas() for p in parts], ignore_index=True)
+    out = df.groupby(keys, sort=False, dropna=False, as_index=False)[vals].sum()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def bucketed_sum(ds: "ray.data.Dataset", keys: list[str],
+                 vals: list[str] | str,
+                 n_buckets: int | None = None) -> "ray.data.Dataset":
+    """Distributed ``SUM(vals) GROUP BY keys`` via the same raw-Ray
+    coarse-hash exchange as ``bucketed_group_apply``, but with ONE
+    vectorised pandas groupby-sum per bucket instead of a per-fine-group
+    fn call.  ``Dataset.groupby().sum()``'s sort-based aggregate pays
+    per-distinct-group Python overhead (~0.2 ms/group — 50 s measured at
+    230k groups on this host), which this removes entirely; output
+    columns keep their input names (no ``sum(c)`` renames)."""
+    if isinstance(vals, str):
+        vals = [vals]
+    if n_buckets is None:
+        n_buckets = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+    block_refs = ds.to_arrow_refs()
+
+    def _empty():
+        import pyarrow as pa
+
+        # preserve the INPUT dtypes (pandas-object empties lose their
+        # column types across the Arrow roundtrip)
+        try:
+            sch = ds.schema(fetch_if_missing=True)
+            full = pa.schema(list(zip(sch.names, sch.types)))
+            cols = [*keys, *vals]
+            return ray.data.from_arrow(
+                pa.schema([full.field(c) for c in cols]).empty_table()
+            )
+        except Exception:
+            return ray.data.from_pandas(pd.DataFrame(columns=[*keys, *vals]))
+
+    if not block_refs:
+        return _empty()
+    split_maps = ray.get([
+        _split_block.remote(r, keys, n_buckets) for r in block_refs
+    ])
+    per_bucket_parts: dict[int, list] = {}
+    for m in split_maps:
+        for b, r in m.items():
+            per_bucket_parts.setdefault(b, []).append(r)
+    if not per_bucket_parts:
+        return _empty()
+    out_refs = [
+        _reduce_sum_bucket.remote(keys, vals, *parts)
+        for _, parts in sorted(per_bucket_parts.items())
+    ]
+    counts = ray.get([_n_rows.remote(r) for r in out_refs])
+    keep = [r for r, c in zip(out_refs, counts) if c > 0]
+    if not keep:
+        return _empty()
+    return ray.data.from_arrow_refs(keep)
 
 
 def bucketed_group_apply(ds: "ray.data.Dataset", keys: list[str], fn,

@@ -502,15 +502,18 @@ def _frequent_items(
             {"h": vc.index.to_numpy(np.int64), "c": vc.to_numpy(np.int64)}
         )
 
-    # native distributed groupby-sum: vectorized sort-exchange aggregate
-    # (a per-fine-group Python reduce here would pay one DataFrame
-    # construction per DISTINCT ITEM in the corpus — unbounded, unlike
-    # pass 2 where the candidate set bounds it)
+    # bucketed vectorised sum exchange (groups.bucketed_sum): the
+    # Dataset-native groupby-sum pays per-distinct-group Python overhead
+    # in its sort aggregate — measured 52 s over 230k distinct hashes vs
+    # <2 s for one pandas groupby per coarse bucket, identical result
+    from .groups import bucketed_sum, cached_get
+
     cand_df = (
-        ds.map_batches(count_partial, batch_format="pandas")
-        .groupby("h").sum("c")
+        bucketed_sum(
+            ds.map_batches(count_partial, batch_format="pandas"), ["h"], "c"
+        )
         .map_batches(
-            lambda b: b.loc[b["sum(c)"] >= min_docs, ["h"]], batch_format="pandas"
+            lambda b: b.loc[b["c"] >= min_docs, ["h"]], batch_format="pandas"
         )
         .to_pandas()
     )
@@ -520,33 +523,26 @@ def _frequent_items(
         return _EMPTY.copy()
     cand_ref = ray.put(cand)
 
-    class CandidateCount:
-        def __init__(self, ref):
-            self.cand = ray.get(ref)  # broadcast: fetched once per actor
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            d = extract(batch)
-            h = _line_hashes(d["item"].to_numpy(object))
-            pos = np.searchsorted(self.cand, h)
-            pos[pos == len(self.cand)] = 0
-            vc = d.loc[self.cand[pos] == h, "item"].value_counts(sort=False)
-            return pd.DataFrame(
-                {"item": vc.index.to_numpy(object), "c": vc.to_numpy(np.int64)}
-            )
-
-    from ..runtime import pool_size
-
-    exact = (
-        ds.map_batches(
-            CandidateCount, fn_constructor_args=(cand_ref,),
-            batch_format="pandas", concurrency=pool_size(),
+    def candidate_count(batch: pd.DataFrame) -> pd.DataFrame:
+        # task pool + per-process broadcast cache (the actor-pool spin-up
+        # costs ~1 s/stage; warm task workers amortize identically)
+        cand_ = cached_get(cand_ref)
+        d = extract(batch)
+        h = _line_hashes(d["item"].to_numpy(object))
+        pos = np.searchsorted(cand_, h)
+        pos[pos == len(cand_)] = 0
+        vc = d.loc[cand_[pos] == h, "item"].value_counts(sort=False)
+        return pd.DataFrame(
+            {"item": vc.index.to_numpy(object), "c": vc.to_numpy(np.int64)}
         )
-        .groupby("item").sum("c")
-        .to_pandas()
-    )
-    if "item" not in exact:  # all candidate partials empty
+
+    exact = bucketed_sum(
+        ds.map_batches(candidate_count, batch_format="pandas"),
+        ["item"], "c",
+    ).to_pandas()
+    if "item" not in exact or not len(exact):  # all candidate partials empty
         return _EMPTY.copy()
-    out = exact.loc[exact["sum(c)"] >= min_docs].rename(columns={"sum(c)": "n_docs"})
+    out = exact.loc[exact["c"] >= min_docs].rename(columns={"c": "n_docs"})
     return (
         out.sort_values(["n_docs", "item"], ascending=[False, True])
         .reset_index(drop=True)
@@ -582,34 +578,27 @@ def remove_boilerplate_lines(
     bounded frequent-line set, broadcast once (``ray.put``)."""
     import ray
 
+    from .groups import cached_get
+
     freq = boilerplate_lines(ds, min_docs=min_docs, text_col=text_col)
     freq_ref = ray.put(frozenset(freq["line"]))
 
-    class Clean:
-        def __init__(self, ref, col):
-            self.freq = ray.get(ref)  # broadcast: fetched once per actor
-            self.col = col
+    def clean(batch: pd.DataFrame) -> pd.DataFrame:
+        freq_ = cached_get(freq_ref)  # broadcast: fetched once per worker process
+        b = batch.reset_index(drop=True)
+        splits = b[text_col].str.split("\n")
+        ex = splits.explode()
+        keep = ~ex.isin(freq_)
+        joined = ex[keep].groupby(level=0).agg("\n".join)
+        out = b.drop(columns=[text_col])
+        out[f"clean_{text_col}"] = joined.reindex(b.index, fill_value="")
+        out["n_lines"] = splits.str.len().to_numpy(np.int64)
+        out["n_kept"] = (
+            keep.groupby(level=0).sum().reindex(b.index, fill_value=0).to_numpy(np.int64)
+        )
+        return out
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            b = batch.reset_index(drop=True)
-            splits = b[self.col].str.split("\n")
-            ex = splits.explode()
-            keep = ~ex.isin(self.freq)
-            joined = ex[keep].groupby(level=0).agg("\n".join)
-            out = b.drop(columns=[self.col])
-            out[f"clean_{self.col}"] = joined.reindex(b.index, fill_value="")
-            out["n_lines"] = splits.str.len().to_numpy(np.int64)
-            out["n_kept"] = (
-                keep.groupby(level=0).sum().reindex(b.index, fill_value=0).to_numpy(np.int64)
-            )
-            return out
-
-    from ..runtime import pool_size
-
-    return ds.map_batches(
-        Clean, fn_constructor_args=(freq_ref, text_col),
-        batch_format="pandas", concurrency=pool_size(),
-    )
+    return ds.map_batches(clean, batch_format="pandas")
 
 
 def dup_span_stats(

@@ -46,3 +46,41 @@ def test_empty_dataset_full_schema(ray_session):
     out = bucketed_group_apply(ds, ["k"], agg).to_pandas()
     assert len(out) == 0
     assert seen_cols and seen_cols[0] == ["doc_id", "k", "v"]
+
+
+def test_bucketed_sum_matches_pandas(ray_session):
+    """bucketed_sum == pandas groupby-sum, including string keys, many
+    distinct groups (the per-group-overhead regime it exists for), and
+    multiple value columns."""
+    import ray.data
+    from skar_ray.stages.groups import bucketed_sum
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    df = pd.DataFrame({
+        "k": [f"item-{i}" for i in rng.integers(0, 15_000, n)],
+        "c": rng.integers(1, 5, n).astype("int64"),
+        "w": rng.integers(-3, 9, n).astype("int64"),
+    })
+    ds = ray.data.from_pandas(df).repartition(13)
+    got = (
+        bucketed_sum(ds, ["k"], ["c", "w"]).to_pandas()
+        .sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k", as_index=False)[["c", "w"]].sum()
+        .sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bucketed_sum_empty(ray_session):
+    import ray.data
+    from skar_ray.stages.groups import bucketed_sum
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [1], "c": [2]})).limit(0)
+    out = bucketed_sum(ds, ["k"], "c")
+    # ray 2.49 to_pandas() on an empty dataset drops columns; the schema
+    # is the contract (callers guard `if "col" not in df` driver-side)
+    assert out.schema().names == ["k", "c"]
+    assert len(out.to_pandas()) == 0
