@@ -20,15 +20,21 @@ Because the whole concatenated value buffer is encoded in one pass
 (symbols may span row boundaries — decode restores the exact byte
 stream), row boundaries are carried by the original lengths,
 FoR+bit-packed separately.  Training is vectorised (sliding-window
-``np.unique`` n-gram counting); encoding is a hybrid of a short
-``bytes.replace`` chain (top-gain symbols) and one Aho-Corasick scan
-(polars ``str.replace_many``) for the tail; decoding is a vectorised
-padded-gather.
+``np.unique`` n-gram counting); encoding is a ``bytes.replace`` chain
+over cache-resident pieces (optionally hybridised with one
+Aho-Corasick tail scan via ``SKAR_FSST_CHAIN_K`` — see ``_CHAIN_K``);
+decoding is one Arrow binary take per escape-free segment.
 """
 
 from __future__ import annotations
 
 import os
+
+# The AC tail pass runs inside Ray workers that already saturate the
+# node one-core-per-worker; polars' default pool (all cores) would
+# oversubscribe 32×32 threads.  Must be set before polars' first import
+# in the process — encode_buffer imports it lazily, after this module.
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
 import numpy as np
 import pyarrow as pa
@@ -292,18 +298,21 @@ class SymbolTable:
     # replace chain is the encode's DRAM-heaviest window — piece size
     # trades L1/L2 residency against per-piece chain overhead)
     _PIECE = int(os.environ.get("SKAR_FSST_PIECE", 64 << 10))
-    # hybrid split: the top-K realized-gain symbols run as bytes.replace
-    # passes (their per-pass cost buys the most bytes); the rest apply
-    # in ONE Aho-Corasick scan (polars str.replace_many, Rust).  The AC
+    # hybrid split (OPT-IN): the top-K realized-gain symbols run as
+    # bytes.replace passes; the rest apply in ONE Aho-Corasick scan
+    # (polars str.replace_many, Rust) over the Series of pieces.  The AC
     # pass uses aho-corasick *standard* (earliest-end) match semantics,
     # under which short symbols preempt longer overlapping ones — so it
     # cannot carry the HIGH-gain long symbols (measured: pure-AC ratio
-    # 0.423 vs chain 0.370) but applies the low-gain tail essentially
-    # free.  Measured on the 33.6 MB corpus content column (BENCH.md
-    # r5 kernel A/B): K=12 → 31.8 MB/s at +1.0% post-zstd footprint vs
-    # the 44-pass chain's 17.6 MB/s.  K >= len(chain) restores the pure
-    # chain; K=0 is the fastest/loosest point (47 MB/s, +5.8%).
-    _CHAIN_K = int(os.environ.get("SKAR_FSST_CHAIN_K", 12))
+    # 0.423 vs chain 0.370) but applies the low-gain tail cheaply.
+    # Single-core A/B (tools/fsst_kernel_ab.py): K=12 → 1.7× faster at
+    # +1.0% post-zstd; K beyond 12 buys NO bytes back (the +1% is
+    # earliest-end semantics, not split position).  At JOB level on 32
+    # workers, though, the pure chain is equal-or-faster AND 2.2%
+    # smaller (interleaved sf0.1 A/B, BENCH.md r5 addendum 3), so the
+    # DEFAULT is the pure chain; set SKAR_FSST_CHAIN_K=12 to trade ~2%
+    # footprint for single-core encode speed (e.g. few-worker callers).
+    _CHAIN_K = int(os.environ.get("SKAR_FSST_CHAIN_K", 1 << 30))
 
     def _ac_tail(self):
         """(patterns, replacements) for the AC tail pass, built once.
@@ -344,8 +353,13 @@ class SymbolTable:
            A symbol spanning a piece boundary is simply left literal —
            bit-exact either way, ratio loss < 0.1%;
         3. one Aho-Corasick scan (polars ``str.replace_many``) applying
-           the remaining tail symbols in a single pass over the whole
-           buffer (see ``_ac_tail`` for semantics and safety)."""
+           the remaining tail symbols (see ``_ac_tail`` for semantics
+           and safety) — issued as ONE call over the Series of the same
+           64 KiB pieces, not the joined buffer: the automaton then
+           walks L2-resident strings, which is what keeps the pass
+           scaling at 32 workers (a whole-buffer scan measured 1.2-1.6×
+           SLOWER at job level than the pure chain despite being 1.7×
+           faster single-core — DRAM contention; BENCH.md r5)."""
         if not data:
             return data
         arr = np.frombuffer(data, dtype=np.uint8)
@@ -361,27 +375,24 @@ class SymbolTable:
             )
         ac = self._ac_tail()
         multi = self._multi if not ac else self._multi[: self._CHAIN_K]
-        if len(data) <= self._PIECE:
+        pieces = (
+            [data]
+            if len(data) <= self._PIECE
+            else [data[s : s + self._PIECE] for s in range(0, len(data), self._PIECE)]
+        )
+        for i, piece in enumerate(pieces):
             for sym, code in multi:
-                data = data.replace(sym, code)
-        else:
-            out = []
-            for s in range(0, len(data), self._PIECE):
-                piece = data[s : s + self._PIECE]
-                for sym, code in multi:
-                    piece = piece.replace(sym, code)
-                out.append(piece)
-            data = b"".join(out)
+                piece = piece.replace(sym, code)
+            pieces[i] = piece
         if ac:
             import polars as pl
 
             pats, reps = ac
-            data = (
-                pl.Series([data.decode("latin-1")])
-                .str.replace_many(pats, reps)[0]
-                .encode("latin-1")
+            done = pl.Series([p.decode("latin-1") for p in pieces]).str.replace_many(
+                pats, reps
             )
-        return data
+            return b"".join(s.encode("latin-1") for s in done)
+        return b"".join(pieces) if len(pieces) > 1 else pieces[0]
 
     # ------------------------------------------------------------ decode
 
