@@ -97,6 +97,36 @@ def _flat_u64_segments(bufs) -> tuple[np.ndarray, np.ndarray]:
     return offs, flat
 
 
+def _binary_col_segments(col, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow (large_)binary column → (offsets[int64, n+1] in ``dtype``
+    units, flat ndarray) straight from the Arrow buffers — one
+    ``ascontiguousarray`` copy of the value bytes, no per-row Python
+    (replaces the former ``to_pylist()`` + ``b"".join`` loops).  The
+    feature columns this reads are non-null by construction."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if not pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.large_binary())
+    item = np.dtype(dtype).itemsize
+    if len(arr) == 0:
+        return np.zeros(1, dtype=np.int64), np.empty(0, dtype=dtype)
+    offs_b = np.frombuffer(arr.buffers()[1], np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2] or b"", np.uint8)
+    flat = np.ascontiguousarray(data[offs_b[0] : offs_b[-1]]).view(dtype)
+    return (offs_b - offs_b[0]) // item, flat
+
+
+def _mat_to_large_binary(mat: np.ndarray) -> pa.Array:
+    """(n, d) matrix → large_binary array of the n row byte-strings,
+    built from ONE flat buffer + arithmetic offsets (no per-row
+    ``tobytes`` loop)."""
+    n, width = mat.shape[0], mat.shape[1] * mat.dtype.itemsize
+    offs = np.arange(n + 1, dtype=np.int64) * width
+    return pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(np.ascontiguousarray(mat).tobytes())],
+    )
+
+
 def _lookup_sorted(ids_sorted: np.ndarray, keys: np.ndarray):
     """searchsorted membership probe: positions + found mask."""
     n = len(ids_sorted)
@@ -450,8 +480,8 @@ def _verify_jaccard_pairs(
         joined = _pairs_with_feature(cand_ds, feats, n_pairs=n_pairs, n_ids=len(need_ids))
 
         def verify_batch(t: pa.Table) -> pa.Table:
-            offs_a, flat_a = _flat_u64_segments(t.column("f_a").to_pylist())
-            offs_b, flat_b = _flat_u64_segments(t.column("f_b").to_pylist())
+            offs_a, flat_a = _binary_col_segments(t.column("f_a"), np.uint64)
+            offs_b, flat_b = _binary_col_segments(t.column("f_b"), np.uint64)
             j = _pairwise_jaccard(flat_a, np.diff(offs_a), flat_b, np.diff(offs_b))
             keep = j >= threshold
             out = pa.table({"doc_a": t.column("doc_a").combine_chunks(),
@@ -1079,13 +1109,18 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
         if sub.num_rows == 0:
             return pa.table({"vec_id": pa.array([], type=pa.int64()),
                              "u": pa.array([], type=pa.large_binary())})
-        m = np.stack([np.asarray(v) for v in sub.column("embedding").to_pylist()]).astype(np.float64)
+        emb = sub.column("embedding").combine_chunks()
+        if pa.types.is_list(emb.type) or pa.types.is_large_list(emb.type) or pa.types.is_fixed_size_list(emb.type):
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+        else:  # ray.data tensor extension: to_numpy is already (n, d)
+            flat = np.asarray(emb.to_numpy(zero_copy_only=False))
+        m = flat.astype(np.float64).reshape(len(emb), -1)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = m / norms
         return pa.table({
             "vec_id": pc.cast(sub.column("vec_id"), pa.int64()),
-            "u": pa.array([row.tobytes() for row in unit], type=pa.large_binary()),
+            "u": _mat_to_large_binary(unit),
         })
 
     feats = ds.map_batches(unit_vecs, fn_kwargs=dict(ref=ids_ref),
@@ -1096,8 +1131,10 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
     def verify_batch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty
-        ua = np.stack([np.frombuffer(v, dtype=np.float64) for v in t.column("f_a").to_pylist()])
-        ub = np.stack([np.frombuffer(v, dtype=np.float64) for v in t.column("f_b").to_pylist()])
+        offs_ua, flat_ua = _binary_col_segments(t.column("f_a"), np.float64)
+        offs_ub, flat_ub = _binary_col_segments(t.column("f_b"), np.float64)
+        ua = flat_ua.reshape(t.num_rows, -1)
+        ub = flat_ub.reshape(t.num_rows, -1)
         cos = (ua * ub).sum(axis=1)
         ids_a = np.asarray(t.column("vec_a"), dtype=np.int64)
         ids_b = np.asarray(t.column("vec_b"), dtype=np.int64)

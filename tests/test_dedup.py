@@ -398,3 +398,28 @@ def test_bucket_anti_join(ray_session):
     assert sorted(out["doc_id"]) == [i for i in range(100) if i not in (3, 5, 97)]
     # non-key columns survive with their values
     assert dict(zip(out["doc_id"], out["x"]))[10] == 20
+
+
+def test_bucketed_verify_paths_match_broadcast(docs_ds, monkeypatch):
+    """Forcing the distributed (bucketed-join) verify tail must produce
+    byte-identical pair sets to the broadcast tail for BOTH the minhash
+    and the embedding families — pins the Arrow-buffer segment readers
+    (_binary_col_segments) against the broadcast kernels."""
+    import ray.data
+
+    want_mh = dd.minhash_lsh_pairs(docs_ds, threshold=0.7).to_pandas()
+    monkeypatch.setattr(dd, "_BROADCAST_ID_LIMIT", 0)
+    monkeypatch.setattr(dd, "_BROADCAST_PAIR_LIMIT", 0)
+    got_mh = dd.minhash_lsh_pairs(docs_ds, threshold=0.7).to_pandas()
+    assert got_mh.equals(want_mh), (got_mh, want_mh)
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 32))
+    vecs[50] = vecs[3] + rng.normal(scale=0.01, size=32)
+    vecs[51] = vecs[3]
+    df = pd.DataFrame({"vec_id": range(60), "embedding": list(vecs.astype(np.float32))})
+    ds = ray.data.from_pandas(df)
+    got_emb = dd.embedding_dup_pairs(ds, threshold=0.99).to_pandas()
+    monkeypatch.undo()
+    want_emb = dd.embedding_dup_pairs(ds, threshold=0.99).to_pandas()
+    assert got_emb.equals(want_emb), (got_emb, want_emb)
