@@ -298,6 +298,10 @@ class SymbolTable:
     # replace chain is the encode's DRAM-heaviest window — piece size
     # trades L1/L2 residency against per-piece chain overhead)
     _PIECE = int(os.environ.get("SKAR_FSST_PIECE", 64 << 10))
+    # pieces per polars Series group (bytes): the chain runs start-to-
+    # finish within each group so the working set stays cache-resident
+    # at many workers, while grouping amortizes the per-call overhead
+    _GROUP = int(os.environ.get("SKAR_FSST_GROUP", 256 << 10))
     # hybrid split (OPT-IN): the top-K realized-gain symbols run as
     # bytes.replace passes; the rest apply in ONE Aho-Corasick scan
     # (polars str.replace_many, Rust) over the Series of pieces.  The AC
@@ -344,22 +348,21 @@ class SymbolTable:
         """Three passes, no per-match Python:
         1. vectorised high-byte pass — map single-byte high symbols to
            their codes (LUT) and splice escape markers before the rest;
-        2. a ``bytes.replace`` chain for the top-K realized-gain ASCII
-           symbols (each replace is a C-speed scan; safety argument in
-           ``__init__``), run over ~64 KiB pieces so the passes stay
-           L2-resident — on a whole multi-MB buffer the chain is
-           memory-bandwidth-bound and parallel workers fight for DRAM
-           (measured 2× faster per core, near-linear at 32 workers).
-           A symbol spanning a piece boundary is simply left literal —
-           bit-exact either way, ratio loss < 0.1%;
-        3. one Aho-Corasick scan (polars ``str.replace_many``) applying
-           the remaining tail symbols (see ``_ac_tail`` for semantics
-           and safety) — issued as ONE call over the Series of the same
-           64 KiB pieces, not the joined buffer: the automaton then
-           walks L2-resident strings, which is what keeps the pass
-           scaling at 32 workers (a whole-buffer scan measured 1.2-1.6×
-           SLOWER at job level than the pure chain despite being 1.7×
-           faster single-core — DRAM contention; BENCH.md r5)."""
+        2. the gain-ordered replace chain over ~64 KiB pieces so the
+           passes stay L2-resident — on a whole multi-MB buffer the
+           chain is memory-bandwidth-bound and parallel workers fight
+           for DRAM (measured 2× faster per core, near-linear at 32
+           workers; flat 16 KiB–1 MiB, 2× collapse at 16 MiB).  A
+           symbol spanning a piece boundary is simply left literal —
+           bit-exact either way, ratio loss < 0.1%.  Each pass is one
+           ``pc.replace_substring`` over a binary array of a ~256 KiB
+           group of pieces — measured 1.37× the ``bytes.replace`` loop
+           with BIT-IDENTICAL output (same leftmost non-overlapping
+           scan; the fallback loop below is pinned equal by
+           ``test_arrow_chain_matches_bytes_replace``);
+        3. (opt-in, ``SKAR_FSST_CHAIN_K``) one Aho-Corasick scan
+           (``str.replace_many``) applying the tail symbols on the same
+           Series (see ``_ac_tail`` for semantics and safety)."""
         if not data:
             return data
         arr = np.frombuffer(data, dtype=np.uint8)
@@ -380,6 +383,39 @@ class SymbolTable:
             if len(data) <= self._PIECE
             else [data[s : s + self._PIECE] for s in range(0, len(data), self._PIECE)]
         )
+        if multi and not os.environ.get("SKAR_FSST_NO_ARROW"):
+            # pyarrow binary replace chain: byte patterns on binary
+            # arrays — no latin-1/UTF-8 conversion anywhere (a polars
+            # str chain was tried first and LOST at job level: code
+            # bytes >= 0x80 are 2-byte UTF-8 in its string buffers, so
+            # the working set doubles as encoding progresses — 1.3×
+            # faster single-core, 1.5× slower at 32 workers).  The
+            # chain runs start-to-finish within each ~256 KiB group of
+            # pieces so the working set stays cache-resident at many
+            # workers; one pass over ALL pieces per symbol would be a
+            # full-buffer DRAM sweep per pass (measured 1.4× slower
+            # even single-core).
+            import pyarrow.compute as _pc
+
+            grp = max(1, self._GROUP // self._PIECE)
+            parts = []
+            for g in range(0, len(pieces), grp):
+                arr = pa.array(pieces[g : g + grp], type=pa.binary())
+                for sym, code in multi:
+                    arr = _pc.replace_substring(arr, pattern=sym, replacement=code)
+                if ac:
+                    import polars as pl
+
+                    s = pl.Series([x.decode("latin-1") for x in arr.to_pylist()])
+                    parts.extend(x.encode("latin-1") for x in s.str.replace_many(*ac))
+                else:
+                    # the data buffer IS the concatenated values; slice
+                    # by offsets (kernels may over-allocate capacity)
+                    offs = np.frombuffer(arr.buffers()[1], np.int32)
+                    parts.append(
+                        memoryview(arr.buffers()[2])[offs[0] : offs[-1]].tobytes()
+                    )
+            return b"".join(parts)
         for i, piece in enumerate(pieces):
             for sym, code in multi:
                 piece = piece.replace(sym, code)

@@ -140,3 +140,32 @@ def test_hybrid_chain_split_roundtrips_at_every_k():
             baseline = len(enc)
         # every split must still compress (tail or head covers the chain)
         assert len(enc) < len(data)
+
+
+def test_arrow_chain_matches_bytes_replace():
+    """The pyarrow binary replace chain (the fast path) must be
+    BIT-IDENTICAL to the bytes.replace fallback loop on real-ish
+    content including high bytes, escapes and piece boundaries."""
+    import os
+
+    import numpy as np
+
+    from skar_ray.codecs.fsst import FsstCodec
+
+    rng = np.random.default_rng(11)
+    data = (
+        b"for i in range(10): print(values[i], end=' ')\n" * 2000
+        + bytes(rng.integers(0, 256, size=5000, dtype=np.uint8))
+        + b"return self._cache.get(key, default)\n" * 1500
+    )
+    codec = FsstCodec()
+    table = codec.make_table(data)
+    assert table._multi
+    fast = table.encode_buffer(data)
+    os.environ["SKAR_FSST_NO_ARROW"] = "1"
+    try:
+        slow = table.encode_buffer(data)
+    finally:
+        del os.environ["SKAR_FSST_NO_ARROW"]
+    assert fast == slow
+    assert table.decode_buffer(fast) == data
