@@ -410,11 +410,12 @@ class SymbolTable:
                     parts.extend(x.encode("latin-1") for x in s.str.replace_many(*ac))
                 else:
                     # the data buffer IS the concatenated values; slice
-                    # by offsets (kernels may over-allocate capacity)
+                    # by the logical offsets (buffers may carry padding
+                    # past the last offset, so index by array length)
                     offs = np.frombuffer(arr.buffers()[1], np.int32)
-                    parts.append(
-                        memoryview(arr.buffers()[2])[offs[0] : offs[-1]].tobytes()
-                    )
+                    lo = int(offs[arr.offset])
+                    hi = int(offs[arr.offset + len(arr)])
+                    parts.append(memoryview(arr.buffers()[2])[lo:hi].tobytes())
             return b"".join(parts)
         for i, piece in enumerate(pieces):
             for sym, code in multi:
