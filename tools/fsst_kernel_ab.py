@@ -1,8 +1,9 @@
 """Interleaved FSST kernel A/B over real corpus bytes (single core).
 
-Reproduces the BENCH.md round-5 "addendum 2" measurements: hybrid
-encode (top-K replace chain + one Aho-Corasick tail) vs the pure
-replace chain, and the Arrow-take decode vs output size.  Interleaved
+Reproduces the BENCH.md round-5 addendum 2/4 kernel measurements:
+the pyarrow binary replace chain (landed default) vs the bytes.replace
+fallback (bit-identical, asserted) vs the opt-in hybrid AC-tail split,
+plus the Arrow-take decode.  Interleaved
 reps make the ranking immune to this host's throttle phases; ratios
 are phase-independent.
 
@@ -45,27 +46,35 @@ def main() -> None:
     print(f"{n/1e6:.1f} MB, {len(table.symbols)} symbols, chain {len(table._multi)}")
     table.encode_buffer(data[: 1 << 20])  # warm polars import + thread pool
 
-    def encode_with_k(k: int) -> tuple[float, bytes]:
+    import os
+
+    def encode_with(k: int, arrow: bool) -> tuple[float, bytes]:
         table._CHAIN_K = k
         table._ac = None
+        if arrow:
+            os.environ.pop("SKAR_FSST_NO_ARROW", None)
+        else:
+            os.environ["SKAR_FSST_NO_ARROW"] = "1"
         t0 = time.perf_counter()
         enc = table.encode_buffer(data)
         return time.perf_counter() - t0, enc
 
     for rep in range(args.reps):
-        dt_h, enc_h = encode_with_k(12)
-        dt_c, enc_c = encode_with_k(10_000)  # pure chain
+        dt_a, enc_a = encode_with(10_000, arrow=True)   # arrow binary chain
+        dt_b, enc_b = encode_with(10_000, arrow=False)  # bytes.replace chain
+        dt_h, enc_h = encode_with(12, arrow=False)      # opt-in hybrid (AC tail)
         t0 = time.perf_counter()
-        dec = table.decode_buffer(enc_h)
+        dec = table.decode_buffer(enc_a)
         dt_d = time.perf_counter() - t0
-        assert dec == data and table.decode_buffer(enc_c) == data
+        assert enc_a == enc_b and dec == data and table.decode_buffer(enc_h) == data
+        za = len(zc.compress(enc_a).to_pybytes()) / n
         zh = len(zc.compress(enc_h).to_pybytes()) / n
-        zecc = len(zc.compress(enc_c).to_pybytes()) / n
         print(
-            f"rep{rep}: hybrid {n/dt_h/1e6:5.1f} MB/s (post-zstd {zh:.4f}) | "
-            f"chain {n/dt_c/1e6:5.1f} MB/s (post-zstd {zecc:.4f}) | "
-            f"speedup {dt_c/dt_h:.2f}x | decode {n/dt_d/1e6:.0f} MB/s out"
+            f"rep{rep}: arrow-chain {n/dt_a/1e6:5.1f} MB/s | bytes-chain "
+            f"{n/dt_b/1e6:5.1f} MB/s (both post-zstd {za:.4f}) | hybrid K=12 "
+            f"{n/dt_h/1e6:5.1f} MB/s (post-zstd {zh:.4f}) | decode {n/dt_d/1e6:.0f} MB/s out"
         )
+    os.environ.pop("SKAR_FSST_NO_ARROW", None)
     table._CHAIN_K = type(table)._CHAIN_K  # restore class default
 
 
