@@ -152,18 +152,10 @@ def build_ivf_index(
     list_rows = {int(r.partition_id): int(r.n_rows) for r in summaries.itertuples()}
 
     # orphan sweep: a rebuild into an existing index_dir can stop
-    # producing some list ids (changed data / n_lists); their stale
-    # containers would otherwise stay "done" and ivf_index_topk (which
-    # scans ALL manifests) would serve vectors the dataset no longer
-    # contains — breaking the nprobe==n_lists exactness invariant.
-    # Runs only on a successful build, before the meta publish.
-    for pid, m in manifest_mod.scan_manifests(index_dir).items():
-        if pid in list_rows:
-            continue
-        for p in (os.path.join(index_dir, m.data_file),
-                  manifest_mod._path_for(index_dir, pid)):
-            if os.path.exists(p):
-                os.remove(p)
+    # producing some list ids (changed data / n_lists), which would
+    # break the nprobe==n_lists exactness invariant.  Runs only on a
+    # successful build, before the meta publish.
+    manifest_mod.sweep_orphans(index_dir, list_rows)
 
     meta = {
         "n_rows": int(n),
@@ -229,13 +221,19 @@ def ivf_index_topk(
                 m = _unit(np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64))
                 ids = t.column("vec_id").to_numpy()
                 qids = np.flatnonzero((self.probes == int(pid)).any(axis=1))
-                for qi in qids:
-                    sims = m @ self.q[qi]
-                    kk = min(self.k, len(sims))
-                    if kk == 0:
-                        continue
-                    top = np.argpartition(-sims, kk - 1)[:kk]
-                    out.extend((int(qi), int(ids[j]), float(sims[j])) for j in top)
+                kk = min(self.k, m.shape[0])
+                if kk == 0 or len(qids) == 0:
+                    continue
+                # one BLAS gemm for every query probing this list
+                # (rows × queries), then a single batched argpartition —
+                # the brute_force_pairs pattern, not a per-query matvec
+                S = m @ self.q[qids].T  # (n_rows, n_q)
+                top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, n_q)
+                for c, qi in enumerate(qids):
+                    js = top[:, c]
+                    out.extend(
+                        (int(qi), int(ids[j]), float(S[j, c])) for j in js
+                    )
             return pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
 
     if rows:

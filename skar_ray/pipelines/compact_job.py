@@ -52,16 +52,9 @@ def run_compact_job(
 
     # orphan sweep (same contract as run_encode_job): a re-compaction
     # into a previously-used dest_dir can stop producing some partition
-    # ids; their stale "done" manifests would otherwise be served by
-    # every query AND pollute the digest comparison below
+    # ids, which would pollute the digest comparison below
     live = set(int(p) for p in out["partition_id"]) if len(out) else set()
-    for pid, m in manifest_mod.scan_manifests(dest_dir).items():
-        if pid in live:
-            continue
-        for p in (os.path.join(dest_dir, m.data_file),
-                  manifest_mod._path_for(dest_dir, pid)):
-            if os.path.exists(p):
-                os.remove(p)
+    manifest_mod.sweep_orphans(dest_dir, live)
 
     src_manifests = manifest_mod.scan_manifests(src_dir)
     dest_manifests = manifest_mod.scan_manifests(dest_dir)

@@ -337,22 +337,11 @@ def run_encode_job(
         )
 
     # orphan sweep: a changed corpus (or plan) can stop producing some
-    # partition ids entirely; their stale containers would otherwise
-    # stay "done" in the manifest dir and every query (which scans ALL
-    # manifests) would read rows the current corpus no longer contains.
-    # After a fully-successful encode, the store's contract is
-    # out_dir == encode(corpus_path) EXACTLY — drop anything the job
-    # neither wrote nor resume-skipped (the reference's rollback
-    # truncation analog, skar_runner.rs:160-213).  Runs only on
-    # success: a crashed job never sweeps.
+    # partition ids entirely.  After a fully-successful encode, the
+    # store's contract is out_dir == encode(corpus_path) EXACTLY — drop
+    # anything the job neither wrote nor resume-skipped.
     live = set(summary.column("partition_id").to_pylist()) if summary.num_rows else set()
-    for pid, m in manifest_mod.scan_manifests(out_dir).items():
-        if pid in live:
-            continue
-        for p in (os.path.join(out_dir, m.data_file),
-                  manifest_mod._path_for(out_dir, pid)):
-            if os.path.exists(p):
-                os.remove(p)
+    manifest_mod.sweep_orphans(out_dir, live)
 
     job = {
         "corpus": corpus_path,

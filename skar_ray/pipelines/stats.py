@@ -242,6 +242,15 @@ def store_group_pair_count(out_dir: str, col_a: str, col_b: str) -> pd.DataFrame
     return out.sort_values([col_a, col_b]).reset_index(drop=True).astype({"n": "int64"})
 
 
+def _merge_rec(cur: tuple, rec: tuple) -> tuple:
+    """Merge two (n, sum, min, max) partials; None = SQL NULL (an
+    all-null group in that partial) and is absorbed by any non-NULL."""
+    s = rec[1] if cur[1] is None else (cur[1] if rec[1] is None else cur[1] + rec[1])
+    mn = rec[2] if cur[2] is None else (cur[2] if rec[2] is None else min(cur[2], rec[2]))
+    mx = rec[3] if cur[3] is None else (cur[3] if rec[3] is None else max(cur[3], rec[3]))
+    return (cur[0] + rec[0], s, mn, mx)
+
+
 def store_group_minmax_sum(out_dir: str, group_col: str, value_col: str) -> pd.DataFrame:
     """GROUP BY ``group_col`` → COUNT(*), MIN/MAX/SUM(``value_col``)
     over an encoded store with the whole aggregation on the ENCODED
@@ -278,40 +287,60 @@ def store_group_minmax_sum(out_dir: str, group_col: str, value_col: str) -> pd.D
                 gcm, vcm = metas[group_col], metas[value_col]
                 gc = container.encoded_group_codes(blob_of(gcm), gcm)
                 if gc is None:  # fallback: decode group keys + factorize
+                    # (also the only path that sees nulls — the fast
+                    # path refuses has_nulls chunks).  SQL GROUP BY:
+                    # null keys form their OWN group — give them the
+                    # extra code k so bincount stays dense.
                     arr = auto.decode_column(
                         blob_of(gcm), gcm["meta"], gcm["page"], gcm["payload_len"]
                     )
                     enc = pc.dictionary_encode(arr)
-                    codes, dict_vals = np.asarray(enc.indices).astype(np.int64), enc.dictionary
+                    dict_keys = enc.dictionary.to_pylist()
+                    idx = enc.indices
+                    if idx.null_count:
+                        idx = pc.fill_null(idx, len(dict_keys))
+                        dict_keys = dict_keys + [None]
+                    codes = np.asarray(idx).astype(np.int64)
                 else:
                     codes, dict_vals = gc
+                    dict_keys = dict_vals.to_pylist()
                 vals = container.encoded_int_values(blob_of(vcm), vcm)
-                if vals is None:  # fallback: decode values
+                vvalid = None
+                if vals is None:  # fallback: decode values (may have nulls)
                     varr = auto.decode_column(
                         blob_of(vcm), vcm["meta"], vcm["page"], vcm["payload_len"]
                     )
-                    vals = np.asarray(varr).astype(np.int64)
-                k = len(dict_vals)
+                    if varr.null_count:
+                        # SQL aggregates: COUNT(*) counts every row,
+                        # SUM/MIN/MAX skip nulls (NULL for an all-null
+                        # group).  A raw astype would smear nulls into
+                        # INT64_MIN garbage — mask them out instead.
+                        vvalid = np.asarray(pc.is_valid(varr))
+                        vals = np.asarray(pc.fill_null(varr, 0)).astype(np.int64)
+                    else:
+                        vals = np.asarray(varr).astype(np.int64)
+                k = len(dict_keys)
                 n_rows = np.bincount(codes, minlength=k)
+                if vvalid is None:
+                    a_codes, a_vals, n_valid = codes, vals, n_rows
+                else:
+                    a_codes, a_vals = codes[vvalid], vals[vvalid]
+                    n_valid = np.bincount(a_codes, minlength=k)
                 sums = np.zeros(k, dtype=np.int64)
-                np.add.at(sums, codes, vals)
+                np.add.at(sums, a_codes, a_vals)
                 mins = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
                 maxs = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
-                np.minimum.at(mins, codes, vals)
-                np.maximum.at(maxs, codes, vals)
-                for i, v in enumerate(dict_vals.to_pylist()):
-                    if n_rows[i]:
-                        cur = agg.get(v)
+                np.minimum.at(mins, a_codes, a_vals)
+                np.maximum.at(maxs, a_codes, a_vals)
+                for i, v in enumerate(dict_keys):
+                    if not n_rows[i]:
+                        continue
+                    if n_valid[i]:
                         rec = (int(n_rows[i]), int(sums[i]), int(mins[i]), int(maxs[i]))
-                        if cur is None:
-                            agg[v] = rec
-                        else:
-                            agg[v] = (
-                                cur[0] + rec[0],
-                                cur[1] + rec[1],
-                                min(cur[2], rec[2]),
-                                max(cur[3], rec[3]),
-                            )
+                    else:  # all-null group: SQL SUM/MIN/MAX are NULL
+                        rec = (int(n_rows[i]), None, None, None)
+                    cur = agg.get(v)
+                    agg[v] = rec if cur is None else _merge_rec(cur, rec)
         return agg
 
     refs = [
@@ -322,9 +351,7 @@ def store_group_minmax_sum(out_dir: str, group_col: str, value_col: str) -> pd.D
     for agg in ray.get(refs):
         for v, rec in agg.items():
             cur = total.get(v)
-            total[v] = rec if cur is None else (
-                cur[0] + rec[0], cur[1] + rec[1], min(cur[2], rec[2]), max(cur[3], rec[3])
-            )
+            total[v] = rec if cur is None else _merge_rec(cur, rec)
     out = pd.DataFrame(
         {
             "value": list(total.keys()),
@@ -334,9 +361,14 @@ def store_group_minmax_sum(out_dir: str, group_col: str, value_col: str) -> pd.D
             "max_v": [r[3] for r in total.values()],
         }
     )
-    return out.sort_values("value").reset_index(drop=True).astype(
-        {"n": "int64", "sum_v": "int64", "min_v": "int64", "max_v": "int64"}
-    )
+    out = out.sort_values("value", na_position="last").reset_index(drop=True)
+    out = out.astype({"n": "int64"})
+    for c in ("sum_v", "min_v", "max_v"):
+        # plain int64 when no group is all-null (the common, nullless
+        # store); pandas nullable Int64 only when a SQL NULL aggregate
+        # actually occurs
+        out[c] = out[c].astype("int64" if out[c].notna().all() else "Int64")
+    return out
 
 
 def store_filtered_group_count(out_dir: str, group_col: str, dnf) -> pd.DataFrame:

@@ -89,7 +89,14 @@ def bucket_hash_join(
     pad to a shared schema, union, co-group per bucket, pandas-merge
     within each.  Column names (other than the key) must be disjoint.
     Skewed hot keys should be pre-salted into sub-buckets by the caller
-    (same technique as the encode partitioner)."""
+    (same technique as the encode partitioner).  Only ``inner`` and
+    ``left`` are supported: the SQL null-key handling inside
+    ``join_bucket`` drops null-keyed RIGHT rows unconditionally, which
+    would silently violate right/full-outer semantics."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"bucket_hash_join supports how='inner'/'left', got {how!r}"
+        )
     l_names = [n for n in left.schema().names if n != key]
     r_names = [n for n in right.schema().names if n != key]
     if set(l_names) & set(r_names):

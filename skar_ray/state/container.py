@@ -389,10 +389,14 @@ def encoded_clause_mask(blob: bytes, cm: dict, op: str, value) -> "np.ndarray | 
                 return np.ones(n, dtype=bool) if op == "!=" else np.zeros(n, dtype=bool)
             return vals != c if op == "!=" else vals == c
         # range ops: a non-integral float threshold maps to the exact
-        # integer comparison (vals >= 3.5 ⟺ vals > 3); out-of-range
-        # thresholds fall back to decode-and-compare
+        # integer comparison (vals >= 3.5 ⟺ vals > 3); out-of-range and
+        # non-finite (NaN/±Inf — math.floor raises on both) thresholds
+        # fall back to decode-and-compare so every codec answers the
+        # clause identically
         import math
 
+        if isinstance(value, float) and not math.isfinite(value):
+            return None
         if isinstance(value, float) and not value.is_integer():
             f = math.floor(value)
             if not (INT64_MIN <= f <= INT64_MAX):

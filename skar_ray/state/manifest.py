@@ -84,3 +84,27 @@ def scan_manifests(out_dir: str) -> dict[int, PartitionManifest]:
 
 def done_partition_ids(out_dir: str) -> set[int]:
     return set(scan_manifests(out_dir).keys())
+
+
+def sweep_orphans(out_dir: str, live_ids) -> int:
+    """Remove every done partition NOT in ``live_ids`` (container file
+    + manifest).  The rollback-truncation analog shared by encode,
+    compact and the IVF index build (reference:
+    skar/src/skar_runner.rs:160-213): a re-run into an existing store
+    can stop producing some partition ids, and their stale "done"
+    manifests would otherwise be served by every query.  Callers invoke
+    this ONLY after a fully-successful job — a crashed job never
+    sweeps.  Missing files are tolerated (idempotent under races).
+    Returns the number of partitions removed."""
+    live = {int(p) for p in live_ids}
+    removed = 0
+    for pid, m in scan_manifests(out_dir).items():
+        if pid in live:
+            continue
+        removed += 1
+        for p in (os.path.join(out_dir, m.data_file), _path_for(out_dir, pid)):
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+    return removed

@@ -428,3 +428,18 @@ def test_broadcast_interval_join(ray_session):
 
     with pytest.raises(ValueError, match="max_intervals"):
         broadcast_interval_join(ray.data.from_pandas(df), bands, "value", max_intervals=2)
+
+
+def test_bucket_hash_join_rejects_unsupported_how(ray_session):
+    """The null-key handling inside join_bucket drops null-keyed RIGHT
+    rows unconditionally, which would silently corrupt right/full-outer
+    results — those `how` values must be rejected loudly."""
+    import ray.data
+
+    from skar_ray.stages.joins import bucket_hash_join
+
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1], "a": ["w"]}))
+    right = ray.data.from_pandas(pd.DataFrame({"k": [1], "b": [9]}))
+    for how in ("outer", "right", "cross"):
+        with pytest.raises(ValueError, match="inner"):
+            bucket_hash_join(left, right, "k", how=how)

@@ -676,3 +676,76 @@ def test_contains_op_matches_source_and_prunes(encoded):
         OUT, columns=["repo"], filters=[[("lang", "contains", "no-such-needle")]]
     ).count()
     assert empty == 0
+
+
+def test_range_clause_nonfinite_threshold(ray_session, tmp_path):
+    """NaN/±Inf float range thresholds must not crash the for_bitpack
+    encoded-form fast path (math.floor raises on both) and must answer
+    identically to the decode-and-compare path every other codec takes
+    (regression: container.encoded_clause_mask now returns None for
+    non-finite floats)."""
+    import numpy as np
+    import pandas as pd
+
+    n = 4000
+    df = pd.DataFrame({
+        "k": np.arange(n, dtype=np.int64),
+        "v": (np.arange(n, dtype=np.int64) * 37) % 1000,
+        "tag": [f"t{i % 5}" for i in range(n)],
+    })
+    src = str(tmp_path / "nf.parquet")
+    pq.write_table(pa.Table.from_pandas(df), src)
+    store = str(tmp_path / "nf_store")
+    run_encode_job(src, store, mode="sharded", chunk_target_bytes=32 << 10, resume=False)
+
+    inf, nan = float("inf"), float("nan")
+    assert query_encoded(store, columns=["k"], filters=[[("v", "<", inf)]]).count() == n
+    assert query_encoded(store, columns=["k"], filters=[[("v", ">", -inf)]]).count() == n
+    assert query_encoded(store, columns=["k"], filters=[[("v", ">", inf)]]).count() == 0
+    assert query_encoded(store, columns=["k"], filters=[[("v", "<=", -inf)]]).count() == 0
+    # IEEE: every comparison against NaN is false
+    assert query_encoded(store, columns=["k"], filters=[[("v", "<", nan)]]).count() == 0
+    assert query_encoded(store, columns=["k"], filters=[[("v", ">=", nan)]]).count() == 0
+
+
+def test_store_group_minmax_sum_null_values_and_keys(ray_session, tmp_path):
+    """SQL aggregate semantics on a store whose group AND value columns
+    contain nulls: COUNT(*) counts every row, SUM/MIN/MAX skip nulls
+    (NULL for an all-null group), null group keys form their own group.
+    Regression: the decode fallback used to smear value nulls into
+    INT64_MIN garbage and crash bincount on null group codes."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from skar_ray.pipelines.stats import store_group_minmax_sum
+
+    n = 3000
+    rng = np.random.default_rng(11)
+    groups = np.array(["a", "b", "c", None], dtype=object)[rng.integers(0, 4, n)]
+    vals = rng.integers(-500, 500, n).astype(object)
+    vals[rng.random(n) < 0.15] = None          # scattered value nulls
+    vals[groups == "c"] = None                 # one ALL-null group
+    df = pd.DataFrame({"g": groups, "v": pd.array(vals, dtype="Int64")})
+    src = str(tmp_path / "nulls.parquet")
+    pq.write_table(pa.Table.from_pandas(df), src)
+    store = str(tmp_path / "nulls_store")
+    run_encode_job(src, store, mode="sharded", chunk_target_bytes=16 << 10, resume=False)
+
+    res = store_group_minmax_sum(store, "g", "v")
+    exp = duckdb.sql(
+        f"""SELECT g AS value, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sum_v,
+                   MIN(v) AS min_v, MAX(v) AS max_v
+            FROM read_parquet('{src}') GROUP BY g
+            ORDER BY g NULLS LAST"""
+    ).df()
+
+    assert len(res) == len(exp) == 4
+    for col in ("value", "n", "sum_v", "min_v", "max_v"):
+        got, want = res[col].tolist(), exp[col].tolist()
+        for a, b in zip(got, want):
+            if pd.isna(b):
+                assert pd.isna(a), (col, got, want)
+            else:
+                assert a == b or int(a) == int(b), (col, got, want)
