@@ -873,6 +873,61 @@ def clean_text(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _inject_pii(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministically embed PII-shaped tokens (two email forms, one
+    IPv4) derived from doc_id — the synthetic documents carry none, so
+    the scrub stage is exercised with real matches and the SQL oracle
+    re-derives the identical augmented text (same pattern as the
+    multimodal ops synthesizing their PNG/WAV payloads in-query)."""
+    b = batch.reset_index(drop=True)
+    d = b["doc_id"].astype("int64")
+    s = d.astype(str)
+    alt = (" alt." + s + "@mail" + (d % 3).astype(str) + ".net").where(d % 2 == 0, "")
+    aug = (
+        b["text"] + " contact user" + s + "@ex" + (d % 5).astype(str) + ".org"
+        + alt + " from 10." + (d % 200).astype(str) + ".3." + (d % 250).astype(str)
+    )
+    return pd.DataFrame({"doc_id": d.to_numpy(), "text": aug.to_numpy(object)})
+
+
+def pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII redaction (emails then IPv4 literals → placeholders) with
+    per-doc match counts and the md5 of the scrubbed text — the
+    privacy-cleaning pass of a training-data pipeline, vectorized
+    compiled-regex map_batches (stages/text.PiiScrubber).  The input
+    text is augmented with deterministic doc_id-derived PII so the
+    redaction path actually fires (see _inject_pii)."""
+    out = (
+        _docs(sf_dir)
+        .map_batches(_inject_pii, batch_format="pandas")
+        .map_batches(text.PiiScrubber, batch_format="pandas", concurrency=pool_size())
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _inject_urls(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic doc_id-derived URLs (1-2 per doc across 11
+    domains) — same in-query synthesis rationale as _inject_pii."""
+    b = batch.reset_index(drop=True)
+    d = b["doc_id"].astype("int64")
+    s = d.astype(str)
+    extra = (" http://www.site" + (d % 4).astype(str) + ".com/q?x=" + s).where(
+        d % 3 == 0, ""
+    )
+    aug = b["text"] + " see https://h" + (d % 7).astype(str) + ".example.org/p/" + s + extra
+    return pd.DataFrame({"doc_id": d.to_numpy(), "text": aug.to_numpy(object)})
+
+
+def url_domain_stats(sf_dir: str) -> pd.DataFrame:
+    """Domain-provenance statistics: URL mentions and distinct
+    mentioning docs per domain (source-mix curation / domain filters).
+    Per-batch partials only — the exchange carries domain-cardinality
+    rows (stages/text.url_domain_stats)."""
+    ds = _docs(sf_dir).map_batches(_inject_urls, batch_format="pandas")
+    return text.url_domain_stats(ds)
+
+
 def quality_filter_stats(sf_dir: str) -> pd.DataFrame:
     """Composed quality-gate pipeline: score → threshold filter → per
     (lang, source) survivor counts — the shape of a real corpus-cleaning
@@ -2007,6 +2062,40 @@ GROUP BY m.rid, m.repo, m.path, m."commit", m.n_lines""",
         "length(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ')) AS clean_len, "
         "md5(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ')) AS clean_md5 "
         "FROM documents",
+    ),
+    # PII scrub / URL stats: the WITH clause re-derives _inject_pii /
+    # _inject_urls' augmented text exactly; patterns come from the same
+    # module constants the stage compiled (RE2/Python-re-shared
+    # constructs only, the token_count_bpe discipline), so a hash match
+    # proves the redaction bytes and counts, not just row counts.
+    "pii_scrub": (
+        pii_scrub,
+        "WITH a AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@ex' || CAST(doc_id % 5 AS VARCHAR) || '.org'"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' alt.' || CAST(doc_id AS VARCHAR)"
+        " || '@mail' || CAST(doc_id % 3 AS VARCHAR) || '.net' ELSE '' END"
+        " || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.'"
+        " || CAST(doc_id % 250 AS VARCHAR) AS text FROM documents) "
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '" + text._EMAIL_PATTERN + "')) AS BIGINT) AS n_emails, "
+        "CAST(len(regexp_extract_all(regexp_replace(text, '" + text._EMAIL_PATTERN
+        + "', '<EMAIL>', 'g'), '" + text._IPV4_PATTERN + "')) AS BIGINT) AS n_ips, "
+        "md5(regexp_replace(regexp_replace(text, '" + text._EMAIL_PATTERN
+        + "', '<EMAIL>', 'g'), '" + text._IPV4_PATTERN + "', '<IP>', 'g')) AS clean_md5 "
+        "FROM a",
+    ),
+    "url_domain_stats": (
+        url_domain_stats,
+        "WITH a AS (SELECT doc_id, text || ' see https://h' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.example.org/p/' || CAST(doc_id AS VARCHAR)"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' http://www.site' || CAST(doc_id % 4 AS VARCHAR)"
+        " || '.com/q?x=' || CAST(doc_id AS VARCHAR) ELSE '' END AS text FROM documents), "
+        "u AS (SELECT doc_id, unnest(regexp_extract_all(text, '" + text._URL_PATTERN
+        + "')) AS url FROM a), "
+        "d AS (SELECT doc_id, regexp_extract(url, '" + text._DOMAIN_PATTERN
+        + "', 1) AS domain FROM u) "
+        "SELECT domain, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM d GROUP BY domain",
     ),
     "quality_filter_stats": (
         quality_filter_stats,

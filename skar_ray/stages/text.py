@@ -674,3 +674,94 @@ def dup_span_stats(
         batch_format="pandas", concurrency=pool_size(),
     ).to_pandas()
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+# PII scrubbing — the privacy-cleaning pass every web-scale training
+# corpus runs before tokenization (emails and IPv4 literals are the
+# two patterns with exact, engine-portable semantics).  Patterns are
+# restricted to constructs Python re and DuckDB's RE2 evaluate
+# identically (explicit classes, no lookaround, ASCII \b), so the SQL
+# oracle can re-derive the scrub byte-for-byte — the same
+# single-source-of-truth discipline as _BPE_PATTERN above.
+_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+_IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_EMAIL_RE = re.compile(_EMAIL_PATTERN)
+_IPV4_RE = re.compile(_IPV4_PATTERN)
+
+
+class PiiScrubber:
+    """doc_id, n_emails, n_ips, clean_md5 — redact email addresses then
+    IPv4 literals from ``text``.  Order matters: an IP-looking quad
+    inside an email's domain (``u@x1.2.3.4u.org``) is consumed by the
+    email redaction and never double-counted; counting each pattern on
+    the string it is replaced IN makes the two-engine comparison exact.
+    Vectorised: one compiled-regex ``str.count`` + ``str.replace`` per
+    pattern, no Python row loop."""
+
+    def __init__(self):
+        self.email = _EMAIL_RE
+        self.ip = _IPV4_RE
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"]
+        n_emails = t.str.count(self.email).astype("int64")
+        t1 = t.str.replace(self.email, "<EMAIL>", regex=True)
+        n_ips = t1.str.count(self.ip).astype("int64")
+        t2 = t1.str.replace(self.ip, "<IP>", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_emails": n_emails.to_numpy(),
+                "n_ips": n_ips.to_numpy(),
+                "clean_md5": t2.map(lambda s: hashlib.md5(s.encode()).hexdigest()),
+            }
+        )
+
+
+# URL / domain extraction — provenance statistics (which hosts feed the
+# corpus) used for source-mix curation and domain-level filtering.
+_URL_PATTERN = r"https?://[^ \t\n\r]+"
+_DOMAIN_PATTERN = r"https?://([^/]+)"
+_URL_RE = re.compile(_URL_PATTERN)
+_DOMAIN_RE = re.compile(_DOMAIN_PATTERN)
+
+
+def url_domain_stats(ds: "ray.data.Dataset", text_col: str = "text",
+                     id_col: str = "doc_id") -> pd.DataFrame:
+    """(domain, n, n_docs): URL mentions and distinct mentioning
+    documents per domain.  Per-batch partials (each document lives in
+    exactly one batch row, so a per-batch ``nunique`` sums to the exact
+    global distinct-doc count — the same disjointness argument as
+    label_confusion's partial counts); the exchange carries only
+    domain-cardinality rows.  Returns sorted by domain."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.reset_index(drop=True)
+        urls = b[text_col].str.findall(_URL_RE)
+        ex = urls.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame(
+                {"domain": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64"),
+                 "n_docs": pd.Series([], dtype="int64")}
+            )
+        dom = ex.str.extract(_DOMAIN_RE, expand=False)
+        ids = b[id_col].reindex(ex.index.to_numpy())
+        g = pd.DataFrame({"domain": dom.to_numpy(object), "doc": ids.to_numpy()})
+        out = g.groupby("domain", as_index=False).agg(
+            n=("doc", "size"), n_docs=("doc", "nunique")
+        )
+        return out.astype({"n": "int64", "n_docs": "int64"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {"domain": pd.Series([], dtype="object"),
+             "n": pd.Series([], dtype="int64"),
+             "n_docs": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby("domain", as_index=False).sum()
+    return (
+        out.sort_values("domain").reset_index(drop=True)
+        .astype({"n": "int64", "n_docs": "int64"})
+    )

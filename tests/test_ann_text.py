@@ -615,3 +615,50 @@ def test_dup_span_stats_match_bruteforce(ray_session):
         assert r.max_dup_run == mx
     assert got.loc[3, "n_grams"] == 0 and got.loc[3, "max_dup_run"] == 0
     assert got.loc[2, "n_dup_grams"] == 0
+
+
+def test_pii_scrubber_edges(ray_session):
+    import pandas as pd
+
+    from skar_ray.stages import text
+
+    docs = [
+        "mail me at a.b+c@sub.example.org or 192.168.0.1 ok",   # one of each
+        "user@10.0.0.1 bare",            # digit TLD: not an email, the ip scrubs
+        "no pii here",                   # nothing
+        "",                              # empty
+        "1.2.3.4 5.6.7.8",               # two ips
+        "x@y (no tld) and 300.300.300.300",  # invalid email (no dot-tld); ip regex is syntactic
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    out = text.PiiScrubber()(df)
+    assert list(out["n_emails"]) == [1, 0, 0, 0, 0, 0]
+    # row 5: the scrubber is syntactic (1-3 digit quads), like every
+    # published PII pass — 300.300.300.300 matches
+    assert list(out["n_ips"]) == [1, 1, 0, 0, 2, 1]
+    import hashlib
+
+    assert out.loc[0, "clean_md5"] == hashlib.md5(
+        b"mail me at <EMAIL> or <IP> ok"
+    ).hexdigest()
+    assert out.loc[1, "clean_md5"] == hashlib.md5(b"user@<IP> bare").hexdigest()
+
+
+def test_url_domain_stats_bruteforce(ray_session):
+    import pandas as pd
+    import ray
+
+    from skar_ray.stages import text
+
+    docs = [
+        "see https://a.org/x and https://a.org/y plus http://b.com/z",
+        "nothing here",
+        "dup domain https://a.org/1 https://a.org/2",
+        "",
+        "trailing https://c.net",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    got = text.url_domain_stats(ray.data.from_pandas(df))
+    assert list(got["domain"]) == ["a.org", "b.com", "c.net"]
+    assert list(got["n"]) == [4, 1, 1]
+    assert list(got["n_docs"]) == [2, 1, 1]
