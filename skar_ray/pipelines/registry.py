@@ -296,6 +296,17 @@ def store_filtered_group_count_corpus(sf_dir: str) -> pd.DataFrame:
     return res.rename(columns={"value": "repo"})
 
 
+def store_distinct_repo(sf_dir: str) -> pd.DataFrame:
+    """DISTINCT repo straight from the encoded store's metadata ladder
+    (chunk distinct-stats list → dict/rle dictionary → decode fallback;
+    pipelines/stats.store_distinct) — the distinct-set index-build
+    analog, answered with zero row-stream decode on dict/rle columns."""
+    from .stats import store_distinct
+
+    res = store_distinct(_corpus_store(sf_dir), "repo")
+    return res.rename(columns={"value": "repo"})
+
+
 def store_group_minmax_documents(sf_dir: str) -> pd.DataFrame:
     """GROUP BY lang → COUNT/MIN/MAX/SUM(n_chars) answered entirely on
     the ENCODED form of a documents store: lang stays a dict/rle code
@@ -1989,6 +2000,12 @@ GROUP BY m.rid, m.repo, m.path, m."commit", m.n_lines""",
         f"SELECT repo, CAST(count(*) AS BIGINT) AS n FROM '{_CORPUS_GLOB_20K}' "
         "WHERE path LIKE 'src/%' AND lang IN ('go', 'python', 'ruby') "
         "GROUP BY repo",
+    ),
+    "store_distinct_repo": (
+        store_distinct_repo,
+        # recomputed from the RAW parquet: a hash match proves the
+        # metadata-ladder distinct set is exact
+        f"SELECT DISTINCT repo FROM '{_CORPUS_GLOB_20K}'",
     ),
     "compact_corpus": (compact_corpus, _CORPUS_IDENTITY_SQL.format(glob=_CORPUS_GLOB_5K)),
     "append_corpus": (append_corpus, _CORPUS_IDENTITY_SQL.format(glob=_CORPUS_GLOB_5K)),

@@ -457,6 +457,77 @@ def store_filtered_group_count(out_dir: str, group_col: str, dnf) -> pd.DataFram
     return out.sort_values("value").reset_index(drop=True).astype({"n": "int64"})
 
 
+def store_distinct(out_dir: str, column: str, with_info: bool = False):
+    """DISTINCT ``column`` over an encoded store, metadata-first.  Per
+    chunk the ladder is (1) the exact ``distinct`` list already in the
+    chunk's pruning stats — header-only, ZERO data bytes read; (2) the
+    dict/rle value dictionary (``container.encoded_distinct_values``) —
+    decodes only the dictionary, never the row stream; (3) full decode
+    + unique.  One Ray task per partition returns its distinct set
+    (result-sized — same contract as ``store_value_counts``: the
+    distinct cardinality must be result-sized; near-unique keys belong
+    on the decode + exchange path); the driver unions.  With
+    ``with_info=True`` also returns per-rung chunk counts so tests can
+    pin which rung served (the reference's distinct-set index serving
+    point queries at zero scan cost, build_parquet_idx.rs:89-166).
+    """
+    import ray
+
+    from ..codecs import auto
+    from ..state import container
+
+    ms = manifest_mod.scan_manifests(out_dir)
+
+    @ray.remote
+    def part_distinct(path: str) -> tuple:
+        import pyarrow.compute as pc
+
+        header, blob_start = container.read_header(path)
+        vals: set = set()
+        rungs = [0, 0, 0]  # stats / dictionary / decode
+        with open(path, "rb") as f:
+            for ch in header["chunks"]:
+                cm = next(c for c in ch["columns"] if c["name"] == column)
+                st = cm.get("minmax")
+                if (
+                    isinstance(st, dict) and "distinct" in st
+                    and not cm["meta"].get("has_nulls")
+                ):
+                    vals.update(st["distinct"])
+                    rungs[0] += 1
+                    continue
+                f.seek(blob_start + cm["offset"])
+                blob = f.read(cm["length"])
+                d = container.encoded_distinct_values(blob, cm)
+                if d is not None:
+                    vals.update(d)
+                    rungs[1] += 1
+                    continue
+                arr = auto.decode_column(blob, cm["meta"], cm["page"], cm["payload_len"])
+                vals.update(pc.unique(arr).to_pylist())
+                rungs[2] += 1
+        return vals, rungs
+
+    refs = [
+        part_distinct.remote(os.path.join(out_dir, m.data_file))
+        for _, m in sorted(ms.items())
+    ]
+    total: set = set()
+    rungs = [0, 0, 0]
+    for vals, r in ray.get(refs):
+        total |= vals
+        rungs = [a + b for a, b in zip(rungs, r)]
+    has_null = None in total
+    ordered = sorted(v for v in total if v is not None)
+    if has_null:
+        ordered.append(None)  # NULL is a distinct value, SQL semantics
+    out = pd.DataFrame({"value": pd.Series(ordered, dtype="object")})
+    if with_info:
+        return out, {"stats_chunks": rungs[0], "dict_chunks": rungs[1],
+                     "decoded_chunks": rungs[2]}
+    return out
+
+
 def store_health(out_dir: str) -> dict:
     """Partition-level invariants a monitoring job would watch."""
     ms = manifest_mod.scan_manifests(out_dir)

@@ -524,6 +524,28 @@ def encoded_int_values(blob: bytes, cm: dict) -> "np.ndarray | None":
     return unpack_ints_with_reference(body, meta, meta["n"])
 
 
+def encoded_distinct_values(blob: bytes, cm: dict) -> "list | None":
+    """Exact distinct values of a dict/rle chunk decoding ONLY the
+    value dictionary — ``dictionary_encode`` builds it from the chunk's
+    own values, so the dictionary IS the chunk's distinct set; the row
+    stream is never touched.  None when the codec carries no dictionary
+    or the chunk has nulls (the null filler would pollute the set —
+    caller decodes, exact either way)."""
+    from ..codecs import base as cbase
+    from ..codecs.plain import PlainCodec
+
+    meta = cm["meta"]
+    if meta.get("has_nulls") or cm["codec"] not in ("dict", "rle"):
+        return None
+    payload = auto.page_decompress(blob, cm["page"], cm["payload_len"])
+    if cm["codec"] == "dict":
+        _nulls, _idx, val_payload = cbase.unpack_sections(payload)
+    else:
+        _nulls, _codes, _lens, val_payload = cbase.unpack_sections(payload)
+    vm = meta["values_meta"]
+    return PlainCodec().decode(val_payload, vm, vm["n"]).to_pylist()
+
+
 def encoded_value_counts(blob: bytes, cm: dict) -> "dict | None":
     """Per-value row counts computed directly on the ENCODED form —
     aggregate pushdown, the GROUP-BY analog of ``encoded_clause_mask``:

@@ -338,3 +338,59 @@ def test_encoded_int_values_matches_decode(ray_session):
         assert checked > 0, "expected at least one for_bitpack n_chars chunk"
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_store_distinct_metadata_ladder(ray_session):
+    """store_distinct must equal the raw distinct set on every rung:
+    lang/repo (low-card strings) must be served WITHOUT decoding any
+    row stream; content (high-card fsst) falls to the decode rung and
+    is still exact."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from skar_ray.corpus import ensure_corpus
+    from skar_ray.pipelines.encode_job import run_encode_job
+    from skar_ray.pipelines.stats import store_distinct
+
+    d = ensure_corpus(2000)
+    src = os.path.join(d, "corpus.parquet")
+    out = "/tmp/skar_pytest_distinct"
+    shutil.rmtree(out, ignore_errors=True)
+    run_encode_job(src, out, target_partition_bytes=2 << 20,
+                   chunk_target_bytes=1 << 20)
+    raw = pq.read_table(src)
+    for col in ("lang", "repo", "path"):
+        got, info = store_distinct(out, col, with_info=True)
+        want = sorted(set(raw.column(col).to_pylist()))
+        assert list(got["value"]) == want, col
+        if col in ("lang", "repo"):  # low-card: dict/rle or stats serve
+            assert info["decoded_chunks"] == 0, (col, info)
+    got, info = store_distinct(out, "content", with_info=True)
+    assert set(got["value"]) == set(raw.column("content").to_pylist())
+    assert info["stats_chunks"] == 0  # content never gets a distinct stat
+
+
+def test_store_distinct_includes_null(ray_session, tmp_path):
+    """A chunk with nulls must bypass the stats/dictionary rungs (their
+    sets exclude the null filler) and the result must carry NULL as a
+    distinct value — SQL DISTINCT semantics."""
+    import pyarrow as pa
+
+    from skar_ray.pipelines.stats import store_distinct
+    from skar_ray.state import container, manifest
+
+    t = pa.table({"g": ["a", None, "b", "a", None, "c"]})
+    out = str(tmp_path / "store")
+    import os
+
+    os.makedirs(out)
+    container.write_container(os.path.join(out, "part-0.skarc"), t)
+    manifest.write_manifest(out, manifest.PartitionManifest(
+        partition_id=0, status="done", n_rows=6, n_chunks=1,
+        data_file="part-0.skarc", raw_bytes=1, enc_bytes=1,
+        content_sha256=""))
+    got, info = store_distinct(out, "g", with_info=True)
+    assert list(got["value"]) == ["a", "b", "c", None]
+    assert info["stats_chunks"] == 0 and info["dict_chunks"] == 0
