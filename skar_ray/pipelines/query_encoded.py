@@ -327,3 +327,147 @@ def query_encoded_with_tail(
     if columns:
         tail = tail.map_batches(lambda t, c=columns: t.select(c), batch_format="pyarrow")
     return enc.union(tail)
+
+
+def store_topk(
+    out_dir: str,
+    value_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    with_info: bool = False,
+):
+    """ORDER BY ``value_col`` LIMIT ``k`` pushed down onto the encoded
+    store — the reference's early-stop/row-limit discipline
+    (server.rs:282-287) applied to a ranked query.  Two waves, both
+    driven by the chunk min/max stats already in every header:
+
+      1. header-only scan → chunks sorted by their stat bound; the
+         shortest prefix holding ≥ k rows decodes, giving the exact
+         running k-th value ``v_k`` (each task returns only its LOCAL
+         top-k (value, id) pairs, so the driver merge is
+         chunks×k-sized, never corpus-sized);
+      2. every remaining chunk whose bound cannot beat ``v_k``
+         (max < v_k descending / min > v_k ascending) is pruned
+         without reading a byte; survivors decode and merge.
+
+    The value stream uses the FoR int fast path when the codec allows
+    (``encoded_int_values``), full decode otherwise; ``value_col`` must
+    be numeric.  Ties break by ``id_col`` ascending (ORDER BY v DESC,
+    id).  Null values sort last, i.e. never enter the top-k while k ≤
+    non-null rows — DuckDB's default NULLS LAST.  ``with_info=True``
+    also returns {chunks_total, chunks_decoded} (pytest pins the
+    pruning).
+    """
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from ..codecs import auto as codecs_auto
+    from ..state import container
+
+    ms = manifest_mod.scan_manifests(out_dir)
+    paths = {pid: os.path.join(out_dir, m.data_file) for pid, m in sorted(ms.items())}
+
+    @ray.remote
+    def chunk_bounds(path: str) -> list:
+        header, _ = container.read_header(path)
+        out = []
+        for ci, ch in enumerate(header["chunks"]):
+            cm = next(c for c in ch["columns"] if c["name"] == value_col)
+            st = cm.get("minmax")
+            if isinstance(st, dict) and "min" in st and "max" in st:
+                out.append((ci, st["min"], st["max"], ch["n_rows"]))
+            else:
+                out.append((ci, None, None, ch["n_rows"]))
+        return out
+
+    @ray.remote
+    def local_topk(path: str, cis: list) -> tuple:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        header, blob_start = container.read_header(path)
+        vs, ids = [], []
+        with open(path, "rb") as f:
+            def col_arr(ch, col):
+                cm = next(c for c in ch["columns"] if c["name"] == col)
+                f.seek(blob_start + cm["offset"])
+                blob = f.read(cm["length"])
+                iv = container.encoded_int_values(blob, cm)
+                if iv is not None:
+                    return pa.array(np.asarray(iv, dtype=np.int64))
+                return codecs_auto.decode_column(blob, cm["meta"], cm["page"], cm["payload_len"])
+
+            for ci in cis:
+                ch = header["chunks"][ci]
+                v = col_arr(ch, value_col)
+                i = col_arr(ch, id_col)
+                keep = pc.is_valid(v)
+                if not pc.all(keep).as_py():
+                    v, i = pc.filter(v, keep), pc.filter(i, keep)
+                vs.append(np.asarray(v.to_numpy(zero_copy_only=False)))
+                ids.append(np.asarray(i.to_numpy(zero_copy_only=False)))
+        if not vs:
+            return np.array([]), np.array([])
+        v = np.concatenate(vs)
+        i = np.concatenate(ids)
+        order = np.lexsort((i, -v if descending else v))[:k]
+        return v[order], i[order]
+
+    bound_refs = {pid: chunk_bounds.remote(p) for pid, p in paths.items()}
+    chunks = []  # (pid, ci, vmin, vmax, rows)
+    for pid in paths:
+        for ci, vmin, vmax, rows in ray.get(bound_refs[pid]):
+            chunks.append((pid, ci, vmin, vmax, rows))
+    n_total = len(chunks)
+
+    def sort_key(c):
+        # stat-less chunks first: they can never be pruned, decode early
+        _, _, vmin, vmax, _ = c
+        if vmax is None:
+            return (0, 0)
+        return (1, -vmax if descending else vmin)
+
+    chunks.sort(key=sort_key)
+    wave1, cum = [], 0
+    rest = []
+    for c in chunks:
+        if cum < k:
+            wave1.append(c)
+            cum += c[4]
+        else:
+            rest.append(c)
+
+    def run_wave(cs: list) -> list:
+        by_pid: dict = {}
+        for pid, ci, *_ in cs:
+            by_pid.setdefault(pid, []).append(ci)
+        return ray.get([
+            local_topk.remote(paths[pid], sorted(cis)) for pid, cis in by_pid.items()
+        ])
+
+    parts = run_wave(wave1)
+    v = np.concatenate([p[0] for p in parts]) if parts else np.array([])
+    i = np.concatenate([p[1] for p in parts]) if parts else np.array([])
+    survivors = rest
+    if len(v) >= k and rest:
+        order = np.lexsort((i, -v if descending else v))
+        v_k = v[order[k - 1]]
+        survivors = [
+            c for c in rest
+            if c[3] is None or (c[3] >= v_k if descending else c[2] <= v_k)
+        ]
+    if survivors:
+        parts2 = run_wave(survivors)
+        v = np.concatenate([v] + [p[0] for p in parts2])
+        i = np.concatenate([i] + [p[1] for p in parts2])
+    order = np.lexsort((i, -v if descending else v))[:k]
+    out = pd.DataFrame({id_col: i[order], value_col: v[order]})
+    if with_info:
+        return out, {
+            "chunks_total": n_total,
+            "chunks_decoded": len(wave1) + len(survivors),
+        }
+    return out

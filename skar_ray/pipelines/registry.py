@@ -307,6 +307,26 @@ def store_distinct_repo(sf_dir: str) -> pd.DataFrame:
     return res.rename(columns={"value": "repo"})
 
 
+def store_topk_chars(sf_dir: str) -> pd.DataFrame:
+    """ORDER BY n_chars DESC LIMIT 25 pushed onto an encoded documents
+    store: chunk min/max stats establish the running k-th bound, chunks
+    that cannot beat it never read a byte, and each decode task returns
+    only its local top-k (query_encoded.store_topk) — the early-stop /
+    row-limit analog (server.rs:282-287) for ranked queries."""
+    from .encode_job import run_encode_job
+    from .query_encoded import store_topk
+
+    out = tempfile.mkdtemp(prefix="skar_topk_")
+    try:
+        run_encode_job(
+            f"{sf_dir}/documents.parquet", out, mode="sharded",
+            chunk_target_bytes=256 << 10, resume=False,
+        )
+        return store_topk(out, "n_chars", k=25, id_col="doc_id")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def store_group_minmax_documents(sf_dir: str) -> pd.DataFrame:
     """GROUP BY lang → COUNT/MIN/MAX/SUM(n_chars) answered entirely on
     the ENCODED form of a documents store: lang stays a dict/rle code
@@ -2000,6 +2020,11 @@ GROUP BY m.rid, m.repo, m.path, m."commit", m.n_lines""",
         f"SELECT repo, CAST(count(*) AS BIGINT) AS n FROM '{_CORPUS_GLOB_20K}' "
         "WHERE path LIKE 'src/%' AND lang IN ('go', 'python', 'ruby') "
         "GROUP BY repo",
+    ),
+    "store_topk_chars": (
+        store_topk_chars,
+        "SELECT doc_id, n_chars FROM documents "
+        "ORDER BY n_chars DESC, doc_id LIMIT 25",
     ),
     "store_distinct_repo": (
         store_distinct_repo,

@@ -749,3 +749,68 @@ def test_store_group_minmax_sum_null_values_and_keys(ray_session, tmp_path):
                 assert pd.isna(a), (col, got, want)
             else:
                 assert a == b or int(a) == int(b), (col, got, want)
+
+
+def test_store_topk_prunes_and_matches_bruteforce(ray_session, tmp_path):
+    """Top-k pushdown: a store whose value column is chunk-clustered
+    must decode only the chunks whose stat bound can beat the running
+    k-th value; result == brute-force ORDER BY v DESC, id LIMIT k
+    including boundary ties, and nulls never enter the top-k."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from skar_ray.pipelines.query_encoded import store_topk
+    from skar_ray.state import container, manifest
+
+    rng = np.random.default_rng(7)
+    # 8 chunks x 100 rows, values clustered per chunk (chunk c holds
+    # values ~ [1000*c, 1000*c + 999]) so stats are tight; inject ties
+    # at the top boundary and a null
+    n, rows = 8, 100
+    vals = np.concatenate([
+        rng.integers(1000 * c, 1000 * c + 1000, rows) for c in range(n)
+    ]).astype("int64")
+    vals[-1] = vals[-2]  # tie at the very top
+    ids = rng.permutation(n * rows).astype("int64")
+    v_obj = vals.astype(object)
+    v_obj[3] = None  # a null in a low chunk
+    t = pa.table({"doc_id": ids, "v": pa.array(list(v_obj), type=pa.int64())})
+    out = str(tmp_path / "store")
+    os.makedirs(out)
+    container.write_container(
+        os.path.join(out, "part-0.skarc"), t,
+        chunk_rows=[(c * rows, rows) for c in range(n)],
+    )
+    manifest.write_manifest(out, manifest.PartitionManifest(
+        partition_id=0, status="done", n_rows=n * rows, n_chunks=n,
+        data_file="part-0.skarc", raw_bytes=1, enc_bytes=1,
+        content_sha256=""))
+
+    k = 30
+    got, info = store_topk(out, "v", k=k, id_col="doc_id", with_info=True)
+    df = pd.DataFrame({"doc_id": ids, "v": pd.array(list(v_obj), dtype="Int64")}).dropna()
+    want = df.sort_values(["v", "doc_id"], ascending=[False, True]).head(k)
+    assert list(got["v"]) == list(want["v"].astype("int64"))
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    # k=30 < 100 rows/chunk: only the top chunk can hold the top-k
+    assert info["chunks_total"] == n and info["chunks_decoded"] == 1
+
+    # ascending variant: the bottom chunk serves alone
+    got2, info2 = store_topk(out, "v", k=k, id_col="doc_id",
+                             descending=False, with_info=True)
+    want2 = df.sort_values(["v", "doc_id"]).head(k)
+    assert list(got2["v"]) == list(want2["v"].astype("int64"))
+    assert info2["chunks_decoded"] == 1
+
+    # k spanning two chunks decodes exactly two
+    got3, info3 = store_topk(out, "v", k=150, id_col="doc_id", with_info=True)
+    want3 = df.sort_values(["v", "doc_id"], ascending=[False, True]).head(150)
+    assert list(got3["v"]) == list(want3["v"].astype("int64"))
+    assert info3["chunks_decoded"] == 2
+
+    # k > total rows: everything decodes, full sorted table comes back
+    got4 = store_topk(out, "v", k=10_000, id_col="doc_id")
+    assert len(got4) == len(df)  # the null row never appears
