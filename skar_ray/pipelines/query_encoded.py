@@ -335,28 +335,35 @@ def store_topk(
     k: int,
     id_col: str = "doc_id",
     descending: bool = True,
+    filters: DNF | None = None,
     with_info: bool = False,
 ):
-    """ORDER BY ``value_col`` LIMIT ``k`` pushed down onto the encoded
-    store — the reference's early-stop/row-limit discipline
-    (server.rs:282-287) applied to a ranked query.  Two waves, both
-    driven by the chunk min/max stats already in every header:
+    """ORDER BY ``value_col`` LIMIT ``k`` (optionally WHERE ``filters``)
+    pushed down onto the encoded store — the reference's early-stop /
+    row-limit discipline (server.rs:282-287) applied to a ranked query,
+    composed with the full pruning ladder:
 
-      1. header-only scan → chunks sorted by their stat bound; the
-         shortest prefix holding ≥ k rows decodes, giving the exact
-         running k-th value ``v_k`` (each task returns only its LOCAL
-         top-k (value, id) pairs, so the driver merge is
-         chunks×k-sized, never corpus-sized);
-      2. every remaining chunk whose bound cannot beat ``v_k``
-         (max < v_k descending / min > v_k ascending) is pruned
-         without reading a byte; survivors decode and merge.
+      1. header-only scan → chunks failing the DNF's stats test
+         (min/max + distinct + SBBF, ``pruning.dnf_possible``) drop
+         without reading a byte; the rest sort by their value bound;
+      2. wave loop: the shortest bound-ordered prefix expected to hold
+         ≥ k rows decodes (with the DNF row mask evaluated on the
+         encoded form where codecs allow — ``read_container
+         (apply_dnf=True)``); each task returns only its LOCAL top-k
+         (value, id) pairs, so the driver merge is chunks×k-sized.
+         Once k rows are collected the exact running k-th value
+         ``v_k`` prunes every remaining chunk whose bound cannot beat
+         it (max < v_k descending / min > v_k ascending); survivors
+         decode in one final wave.  A filter that eats a prefix's rows
+         just pulls the next prefix — the loop never over-reads when
+         stats are tight and never under-delivers when they are not.
 
-    The value stream uses the FoR int fast path when the codec allows
-    (``encoded_int_values``), full decode otherwise; ``value_col`` must
-    be numeric.  Ties break by ``id_col`` ascending (ORDER BY v DESC,
-    id).  Null values sort last, i.e. never enter the top-k while k ≤
-    non-null rows — DuckDB's default NULLS LAST.  ``with_info=True``
-    also returns {chunks_total, chunks_decoded} (pytest pins the
+    Unfiltered chunks use the FoR int fast path (``encoded_int_values``)
+    for the value stream; ``value_col`` must be numeric.  Ties break by
+    ``id_col`` ascending (ORDER BY v DESC, id).  Null values sort last,
+    i.e. never enter the top-k while k ≤ matching non-null rows —
+    DuckDB's default NULLS LAST.  ``with_info=True`` also returns
+    {chunks_total, dnf_pruned, chunks_decoded} (pytest pins the
     pruning).
     """
     import numpy as np
@@ -366,22 +373,26 @@ def store_topk(
 
     from ..codecs import auto as codecs_auto
     from ..state import container
+    from ..state.pruning import dnf_possible
 
     ms = manifest_mod.scan_manifests(out_dir)
     paths = {pid: os.path.join(out_dir, m.data_file) for pid, m in sorted(ms.items())}
 
     @ray.remote
-    def chunk_bounds(path: str) -> list:
+    def chunk_bounds(path: str) -> tuple:
         header, _ = container.read_header(path)
-        out = []
+        out, dropped = [], 0
         for ci, ch in enumerate(header["chunks"]):
+            if filters and not dnf_possible(container._chunk_stats_of(ch), filters):
+                dropped += 1
+                continue
             cm = next(c for c in ch["columns"] if c["name"] == value_col)
             st = cm.get("minmax")
             if isinstance(st, dict) and "min" in st and "max" in st:
                 out.append((ci, st["min"], st["max"], ch["n_rows"]))
             else:
                 out.append((ci, None, None, ch["n_rows"]))
-        return out
+        return out, dropped
 
     @ray.remote
     def local_topk(path: str, cis: list) -> tuple:
@@ -390,25 +401,39 @@ def store_topk(
 
         header, blob_start = container.read_header(path)
         vs, ids = [], []
-        with open(path, "rb") as f:
-            def col_arr(ch, col):
-                cm = next(c for c in ch["columns"] if c["name"] == col)
-                f.seek(blob_start + cm["offset"])
-                blob = f.read(cm["length"])
-                iv = container.encoded_int_values(blob, cm)
-                if iv is not None:
-                    return pa.array(np.asarray(iv, dtype=np.int64))
-                return codecs_auto.decode_column(blob, cm["meta"], cm["page"], cm["payload_len"])
-
-            for ci in cis:
-                ch = header["chunks"][ci]
-                v = col_arr(ch, value_col)
-                i = col_arr(ch, id_col)
-                keep = pc.is_valid(v)
-                if not pc.all(keep).as_py():
-                    v, i = pc.filter(v, keep), pc.filter(i, keep)
+        if filters:
+            t = container.read_container(
+                path, columns=[value_col, id_col], chunk_indices=cis,
+                dnf=filters, apply_dnf=True,
+                header_info=(header, blob_start),
+            )
+            v, i = t.column(value_col), t.column(id_col)
+            keep = pc.is_valid(v)
+            if not pc.all(keep).as_py():
+                v, i = pc.filter(v, keep), pc.filter(i, keep)
+            if len(v):
                 vs.append(np.asarray(v.to_numpy(zero_copy_only=False)))
                 ids.append(np.asarray(i.to_numpy(zero_copy_only=False)))
+        else:
+            with open(path, "rb") as f:
+                def col_arr(ch, col):
+                    cm = next(c for c in ch["columns"] if c["name"] == col)
+                    f.seek(blob_start + cm["offset"])
+                    blob = f.read(cm["length"])
+                    iv = container.encoded_int_values(blob, cm)
+                    if iv is not None:
+                        return pa.array(np.asarray(iv, dtype=np.int64))
+                    return codecs_auto.decode_column(blob, cm["meta"], cm["page"], cm["payload_len"])
+
+                for ci in cis:
+                    ch = header["chunks"][ci]
+                    v = col_arr(ch, value_col)
+                    i = col_arr(ch, id_col)
+                    keep = pc.is_valid(v)
+                    if not pc.all(keep).as_py():
+                        v, i = pc.filter(v, keep), pc.filter(i, keep)
+                    vs.append(np.asarray(v.to_numpy(zero_copy_only=False)))
+                    ids.append(np.asarray(i.to_numpy(zero_copy_only=False)))
         if not vs:
             return np.array([]), np.array([])
         v = np.concatenate(vs)
@@ -418,10 +443,13 @@ def store_topk(
 
     bound_refs = {pid: chunk_bounds.remote(p) for pid, p in paths.items()}
     chunks = []  # (pid, ci, vmin, vmax, rows)
+    dnf_pruned = 0
     for pid in paths:
-        for ci, vmin, vmax, rows in ray.get(bound_refs[pid]):
+        bounds, dropped = ray.get(bound_refs[pid])
+        dnf_pruned += dropped
+        for ci, vmin, vmax, rows in bounds:
             chunks.append((pid, ci, vmin, vmax, rows))
-    n_total = len(chunks)
+    n_total = len(chunks) + dnf_pruned
 
     def sort_key(c):
         # stat-less chunks first: they can never be pruned, decode early
@@ -431,14 +459,6 @@ def store_topk(
         return (1, -vmax if descending else vmin)
 
     chunks.sort(key=sort_key)
-    wave1, cum = [], 0
-    rest = []
-    for c in chunks:
-        if cum < k:
-            wave1.append(c)
-            cum += c[4]
-        else:
-            rest.append(c)
 
     def run_wave(cs: list) -> list:
         by_pid: dict = {}
@@ -448,26 +468,51 @@ def store_topk(
             local_topk.remote(paths[pid], sorted(cis)) for pid, cis in by_pid.items()
         ])
 
-    parts = run_wave(wave1)
-    v = np.concatenate([p[0] for p in parts]) if parts else np.array([])
-    i = np.concatenate([p[1] for p in parts]) if parts else np.array([])
-    survivors = rest
-    if len(v) >= k and rest:
-        order = np.lexsort((i, -v if descending else v))
-        v_k = v[order[k - 1]]
-        survivors = [
-            c for c in rest
-            if c[3] is None or (c[3] >= v_k if descending else c[2] <= v_k)
-        ]
-    if survivors:
-        parts2 = run_wave(survivors)
-        v = np.concatenate([v] + [p[0] for p in parts2])
-        i = np.concatenate([i] + [p[1] for p in parts2])
+    pending = chunks
+    # accumulate per-wave parts; never concatenate with a dtype-less
+    # empty (float64 would silently promote int results)
+    v_parts: list = []
+    i_parts: list = []
+    n_rows_seen = 0
+    n_decoded = 0
+    while pending:
+        if n_rows_seen >= k:
+            v = np.concatenate(v_parts)
+            i = np.concatenate(i_parts)
+            order = np.lexsort((i, -v if descending else v))
+            v_k = v[order[k - 1]]
+            batch = [
+                c for c in pending
+                if c[3] is None or (c[3] >= v_k if descending else c[2] <= v_k)
+            ]
+            pending = []
+        else:
+            batch, cum = [], 0
+            need = k - n_rows_seen
+            while pending and cum < need:
+                c = pending.pop(0)
+                batch.append(c)
+                cum += c[4]
+        if not batch:
+            break
+        n_decoded += len(batch)
+        for pv, pi in run_wave(batch):
+            if len(pv):
+                v_parts.append(pv)
+                i_parts.append(pi)
+                n_rows_seen += len(pv)
+    if v_parts:
+        v = np.concatenate(v_parts)
+        i = np.concatenate(i_parts)
+    else:
+        v = np.array([], dtype=np.int64)
+        i = np.array([], dtype=np.int64)
     order = np.lexsort((i, -v if descending else v))[:k]
     out = pd.DataFrame({id_col: i[order], value_col: v[order]})
     if with_info:
         return out, {
             "chunks_total": n_total,
-            "chunks_decoded": len(wave1) + len(survivors),
+            "dnf_pruned": dnf_pruned,
+            "chunks_decoded": n_decoded,
         }
     return out

@@ -327,6 +327,29 @@ def store_topk_chars(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def store_topk_filtered(sf_dir: str) -> pd.DataFrame:
+    """WHERE lang='en' ORDER BY n_chars DESC LIMIT 15 with every stage
+    on the encoded form: DNF stats pruning drops non-matching chunks
+    header-only, the row mask evaluates on the encoded streams, and
+    the running k-th bound prunes the rest — the composed
+    filter+rank+limit skar query shape."""
+    from .encode_job import run_encode_job
+    from .query_encoded import store_topk
+
+    out = tempfile.mkdtemp(prefix="skar_topkf_")
+    try:
+        run_encode_job(
+            f"{sf_dir}/documents.parquet", out, mode="sharded",
+            chunk_target_bytes=256 << 10, resume=False,
+        )
+        return store_topk(
+            out, "n_chars", k=15, id_col="doc_id",
+            filters=[[("lang", "==", "en")]],
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def store_group_minmax_documents(sf_dir: str) -> pd.DataFrame:
     """GROUP BY lang → COUNT/MIN/MAX/SUM(n_chars) answered entirely on
     the ENCODED form of a documents store: lang stays a dict/rle code
@@ -2025,6 +2048,11 @@ GROUP BY m.rid, m.repo, m.path, m."commit", m.n_lines""",
         store_topk_chars,
         "SELECT doc_id, n_chars FROM documents "
         "ORDER BY n_chars DESC, doc_id LIMIT 25",
+    ),
+    "store_topk_filtered": (
+        store_topk_filtered,
+        "SELECT doc_id, n_chars FROM documents WHERE lang = 'en' "
+        "ORDER BY n_chars DESC, doc_id LIMIT 15",
     ),
     "store_distinct_repo": (
         store_distinct_repo,

@@ -814,3 +814,67 @@ def test_store_topk_prunes_and_matches_bruteforce(ray_session, tmp_path):
     # k > total rows: everything decodes, full sorted table comes back
     got4 = store_topk(out, "v", k=10_000, id_col="doc_id")
     assert len(got4) == len(df)  # the null row never appears
+
+
+def test_store_topk_filtered_composes_pruning(ray_session, tmp_path):
+    """WHERE + ORDER BY LIMIT composed on the encoded form: chunks
+    failing the DNF's stats test drop header-only, the DNF row mask
+    applies before ranking, and the k-th bound still prunes — result
+    == brute-force filtered top-k."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from skar_ray.pipelines.query_encoded import store_topk
+    from skar_ray.state import container, manifest
+
+    rng = np.random.default_rng(11)
+    n, rows = 8, 100
+    vals = np.concatenate([
+        rng.integers(1000 * c, 1000 * c + 1000, rows) for c in range(n)
+    ]).astype("int64")
+    ids = np.arange(n * rows, dtype="int64")
+    # lang clusters per chunk: chunks 0-3 'go', 4-5 'py', 6-7 'rs' —
+    # a lang filter prunes whole chunks from the header stats
+    lang = np.repeat(["go"] * 4 + ["py"] * 2 + ["rs"] * 2, rows)
+    t = pa.table({"doc_id": ids, "v": vals, "lang": lang})
+    out = str(tmp_path / "store")
+    os.makedirs(out)
+    container.write_container(
+        os.path.join(out, "part-0.skarc"), t,
+        chunk_rows=[(c * rows, rows) for c in range(n)],
+    )
+    manifest.write_manifest(out, manifest.PartitionManifest(
+        partition_id=0, status="done", n_rows=n * rows, n_chunks=n,
+        data_file="part-0.skarc", raw_bytes=1, enc_bytes=1,
+        content_sha256=""))
+
+    df = pd.DataFrame({"doc_id": ids, "v": vals, "lang": lang})
+    k = 30
+    got, info = store_topk(out, "v", k=k, id_col="doc_id",
+                           filters=[[("lang", "==", "py")]], with_info=True)
+    want = (
+        df[df["lang"] == "py"]
+        .sort_values(["v", "doc_id"], ascending=[False, True]).head(k)
+    )
+    assert list(got["v"]) == list(want["v"])
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    # 6 chunks fail the lang stats test; the top py chunk (5) serves
+    # the k rows and its v_k prunes chunk 4
+    assert info["dnf_pruned"] == 6 and info["chunks_decoded"] == 1
+
+    # a filter that keeps only a few rows per chunk: the wave loop must
+    # pull more prefixes until k rows are collected (or all decode)
+    got2, info2 = store_topk(
+        out, "v", k=10, id_col="doc_id",
+        filters=[[("doc_id", "<", 150)]], with_info=True,
+    )
+    want2 = (
+        df[df["doc_id"] < 150]
+        .sort_values(["v", "doc_id"], ascending=[False, True]).head(10)
+    )
+    assert list(got2["v"]) == list(want2["v"])
+    assert list(got2["doc_id"]) == list(want2["doc_id"])
+    assert info2["dnf_pruned"] == 6  # doc_id stats kill chunks 2-7
