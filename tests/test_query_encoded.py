@@ -9,6 +9,8 @@ import pyarrow.parquet as pq
 
 from skar_ray.corpus import read_corpus_table
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from skar_ray.corpus import ensure_corpus
 from skar_ray.pipelines.encode_job import run_encode_job
@@ -878,3 +880,92 @@ def test_store_topk_filtered_composes_pruning(ray_session, tmp_path):
     assert list(got2["v"]) == list(want2["v"])
     assert list(got2["doc_id"]) == list(want2["doc_id"])
     assert info2["dnf_pruned"] == 6  # doc_id stats kill chunks 2-7
+
+
+def _tiny_store(t, nchunks):
+    """Write ``t`` as one container split into ``nchunks`` chunks under
+    a fresh temp dir (hypothesis examples can't reuse tmp_path)."""
+    import os
+    import tempfile
+
+    from skar_ray.state import container, manifest
+
+    out = tempfile.mkdtemp(prefix="skar_prop_store_")
+    n = t.num_rows
+    nchunks = max(1, min(nchunks, n))
+    bounds = [round(c * n / nchunks) for c in range(nchunks + 1)]
+    chunk_rows = [
+        (lo, hi - lo) for lo, hi in zip(bounds, bounds[1:]) if hi > lo
+    ]
+    container.write_container(os.path.join(out, "part-0.skarc"), t,
+                              chunk_rows=chunk_rows)
+    manifest.write_manifest(out, manifest.PartitionManifest(
+        partition_id=0, status="done", n_rows=n, n_chunks=len(chunk_rows),
+        data_file="part-0.skarc", raw_bytes=1, enc_bytes=1,
+        content_sha256=""))
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(st.one_of(st.none(), st.integers(-1000, 1000)),
+                  min_size=1, max_size=60),
+    k=st.integers(1, 12),
+    desc=st.booleans(),
+    nchunks=st.integers(1, 4),
+)
+def test_store_topk_property(ray_session, vals, k, desc, nchunks):
+    """Random values / chunking / direction / k: store_topk == pandas
+    dropna + sort + head, ids tie-broken ascending."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from skar_ray.pipelines.query_encoded import store_topk
+
+    ids = list(range(len(vals)))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "v": pa.array(vals, type=pa.int64())})
+    out = _tiny_store(t, nchunks)
+    try:
+        got = store_topk(out, "v", k=k, id_col="doc_id", descending=desc)
+        want = (
+            pd.DataFrame({"doc_id": ids, "v": pd.array(vals, dtype="Int64")})
+            .dropna()
+            .sort_values(["v", "doc_id"], ascending=[not desc, True])
+            .head(k)
+        )
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["v"]) == list(want["v"].astype("int64"))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.text(alphabet="abcxyz", max_size=4)),
+        min_size=1, max_size=60,
+    ),
+    nchunks=st.integers(1, 4),
+)
+def test_store_distinct_property(ray_session, vals, nchunks):
+    """Random strings-with-nulls and chunking: store_distinct == the
+    exact distinct set, NULL included, whatever rung serves it."""
+    import shutil
+
+    import pyarrow as pa
+
+    from skar_ray.pipelines.stats import store_distinct
+
+    t = pa.table({"g": pa.array(vals, type=pa.string())})
+    out = _tiny_store(t, nchunks)
+    try:
+        got = store_distinct(out, "g")
+        assert set(got["value"]) == set(vals)
+        assert len(got) == len(set(vals))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
