@@ -18,6 +18,8 @@ Subcommands (each prints ONE JSON line to stdout for scriptability):
     export  STORE DEST [--columns ..]    store -> partitioned parquet
     stats   STORE                        per-column codec/byte summary
     query   STORE [--columns ..] [--where DNF.json] [--limit N] [--out DIR]
+    topk    STORE VALUE_COL [-k N] [--id-col ..] [--asc] [--where ..]
+    distinct STORE COLUMN                DISTINCT from stats/dictionaries
 
 `--where` takes the engine's DNF as JSON: a list of OR'd conjunctions,
 each a list of `[column, op, value]` clauses, e.g.
@@ -133,6 +135,26 @@ def cmd_query(a) -> dict:
     return {"rows": ds.count()}
 
 
+def cmd_topk(a) -> dict:
+    _ray_session()
+    from .pipelines.query_encoded import store_topk
+
+    res = store_topk(
+        a.store, a.value_col, k=a.k, id_col=a.id_col,
+        descending=not a.asc, filters=_dnf(a.where),
+    )
+    # to_json: numpy ints aren't json.dumps-serializable
+    return {"rows": json.loads(res.to_json(orient="records"))}
+
+
+def cmd_distinct(a) -> dict:
+    _ray_session()
+    from .pipelines.stats import store_distinct
+
+    res, info = store_distinct(a.store, a.column, with_info=True)
+    return {"values": list(res["value"]), **info}
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python -m skar_ray", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -174,6 +196,20 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--limit", type=int, default=None)
     s.add_argument("--out", default=None, help="write result parquet here")
     s.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("topk", help="ranked query: ORDER BY col LIMIT k, chunk-stat pruned")
+    s.add_argument("store")
+    s.add_argument("value_col")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--asc", action="store_true", help="ascending (default descending)")
+    s.add_argument("--where", default=None, help="DNF as JSON [[clause,...],...]")
+    s.set_defaults(fn=cmd_topk)
+
+    s = sub.add_parser("distinct", help="DISTINCT col from stats/dictionaries, no row decode")
+    s.add_argument("store")
+    s.add_argument("column")
+    s.set_defaults(fn=cmd_distinct)
     return p
 
 

@@ -99,3 +99,34 @@ def test_cli_subprocess_owns_session(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["rows"] == 1000 and out["partitions"] >= 1
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.001"), reason="driver testdata absent"
+)
+def test_cli_topk_and_distinct(ray_session, tmp_path, capsys):
+    """The ranked-query and distinct subcommands over an encoded
+    documents store match the raw table."""
+    import pandas as pd
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    store = str(tmp_path / "dstore")
+    run_cli(capsys, "encode", docs, store, "--mode", "sharded")
+
+    raw = pq.read_table(docs).to_pandas()
+    tk = run_cli(capsys, "topk", store, "n_chars", "-k", "5")
+    want = raw.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(5)
+    assert [r["doc_id"] for r in tk["rows"]] == list(want["doc_id"])
+    assert [r["n_chars"] for r in tk["rows"]] == list(want["n_chars"])
+
+    where = json.dumps([[["lang", "==", "en"]]])
+    tkf = run_cli(capsys, "topk", store, "n_chars", "-k", "3", "--where", where)
+    wantf = (
+        raw[raw["lang"] == "en"]
+        .sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+    )
+    assert [r["doc_id"] for r in tkf["rows"]] == list(wantf["doc_id"])
+
+    di = run_cli(capsys, "distinct", store, "lang")
+    assert set(di["values"]) == set(raw["lang"])
+    assert di["decoded_chunks"] == 0  # lang served from metadata
