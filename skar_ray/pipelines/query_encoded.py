@@ -360,9 +360,11 @@ def store_topk(
 
     Unfiltered chunks use the FoR int fast path (``encoded_int_values``)
     for the value stream; ``value_col`` must be numeric.  Ties break by
-    ``id_col`` ascending (ORDER BY v DESC, id).  Null values sort last,
-    i.e. never enter the top-k while k ≤ matching non-null rows —
-    DuckDB's default NULLS LAST.  ``with_info=True`` also returns
+    ``id_col`` ascending (ORDER BY v DESC, id).  Null AND NaN values
+    sort last, i.e. never enter the top-k while k ≤ matching real rows
+    — DuckDB's default NULLS LAST (note DuckDB itself sorts NaN FIRST
+    on DESC; float callers wanting NaN rows must filter for them).
+    ``with_info=True`` also returns
     {chunks_total, dnf_pruned, chunks_decoded} (pytest pins the
     pruning).
     """
@@ -375,12 +377,25 @@ def store_topk(
     from ..state import container
     from ..state.pruning import dnf_possible
 
+    if k <= 0:
+        raise ValueError(f"store_topk needs k >= 1, got {k}")
+
     ms = manifest_mod.scan_manifests(out_dir)
     paths = {pid: os.path.join(out_dir, m.data_file) for pid, m in sorted(ms.items())}
+
+    _NUMERIC = ("int", "uint", "float", "double", "halffloat")
 
     @ray.remote
     def chunk_bounds(path: str) -> tuple:
         header, _ = container.read_header(path)
+        types = dict(header["schema"])
+        for col in (value_col, id_col):
+            if col not in types:
+                raise ValueError(f"column {col!r} not in store schema {sorted(types)}")
+        if not str(types[value_col]).startswith(_NUMERIC):
+            raise ValueError(
+                f"store_topk needs a numeric value_col; {value_col!r} is {types[value_col]}"
+            )
         out, dropped = [], 0
         for ci, ch in enumerate(header["chunks"]):
             if filters and not dnf_possible(container._chunk_stats_of(ch), filters):
@@ -401,6 +416,22 @@ def store_topk(
 
         header, blob_start = container.read_header(path)
         vs, ids = [], []
+
+        def push(v, i):
+            vn = np.asarray(v.to_numpy(zero_copy_only=False))
+            im = np.asarray(i.to_numpy(zero_copy_only=False))
+            if vn.dtype.kind == "f":
+                # NaN ranks with nulls (never in the top-k) — a NaN
+                # reaching the merge would poison v_k and every bound
+                # comparison; note DuckDB instead sorts NaN FIRST on
+                # DESC, so float callers wanting NaN rows must filter
+                m = ~np.isnan(vn)
+                if not m.all():
+                    vn, im = vn[m], im[m]
+            if len(vn):
+                vs.append(vn)
+                ids.append(im)
+
         if filters:
             t = container.read_container(
                 path, columns=[value_col, id_col], chunk_indices=cis,
@@ -412,8 +443,7 @@ def store_topk(
             if not pc.all(keep).as_py():
                 v, i = pc.filter(v, keep), pc.filter(i, keep)
             if len(v):
-                vs.append(np.asarray(v.to_numpy(zero_copy_only=False)))
-                ids.append(np.asarray(i.to_numpy(zero_copy_only=False)))
+                push(v, i)
         else:
             with open(path, "rb") as f:
                 def col_arr(ch, col):
@@ -432,8 +462,7 @@ def store_topk(
                     keep = pc.is_valid(v)
                     if not pc.all(keep).as_py():
                         v, i = pc.filter(v, keep), pc.filter(i, keep)
-                    vs.append(np.asarray(v.to_numpy(zero_copy_only=False)))
-                    ids.append(np.asarray(i.to_numpy(zero_copy_only=False)))
+                    push(v, i)
         if not vs:
             return np.array([]), np.array([])
         v = np.concatenate(vs)

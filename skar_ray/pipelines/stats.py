@@ -483,6 +483,11 @@ def store_distinct(out_dir: str, column: str, with_info: bool = False):
         import pyarrow.compute as pc
 
         header, blob_start = container.read_header(path)
+        if column not in dict(header["schema"]):
+            raise ValueError(
+                f"column {column!r} not in store schema "
+                f"{sorted(dict(header['schema']))}"
+            )
         vals: set = set()
         rungs = [0, 0, 0]  # stats / dictionary / decode
         with open(path, "rb") as f:
@@ -518,7 +523,14 @@ def store_distinct(out_dir: str, column: str, with_info: bool = False):
         total |= vals
         rungs = [a + b for a, b in zip(rungs, r)]
     has_null = None in total
-    ordered = sorted(v for v in total if v is not None)
+    # NaN != NaN, so a Python set keeps one per chunk — collapse to a
+    # single NaN (SQL DISTINCT keeps exactly one) and sort it after the
+    # comparable values (sorted() with NaN present is undefined)
+    finite = [v for v in total if v is not None and v == v]
+    has_nan = len(finite) + has_null < len(total)
+    ordered = sorted(finite)
+    if has_nan:
+        ordered.append(float("nan"))
     if has_null:
         ordered.append(None)  # NULL is a distinct value, SQL semantics
     out = pd.DataFrame({"value": pd.Series(ordered, dtype="object")})

@@ -686,7 +686,9 @@ def dup_span_stats(
 _EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
 _IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 _EMAIL_RE = re.compile(_EMAIL_PATTERN)
-_IPV4_RE = re.compile(_IPV4_PATTERN)
+# re.ASCII: RE2's \b is an ASCII word boundary; Python's default is
+# Unicode-aware, which would disagree next to non-ASCII word chars
+_IPV4_RE = re.compile(_IPV4_PATTERN, re.ASCII)
 
 
 class PiiScrubber:
@@ -745,7 +747,10 @@ def url_domain_stats(ds: "ray.data.Dataset", text_col: str = "text",
                  "n": pd.Series([], dtype="int64"),
                  "n_docs": pd.Series([], dtype="int64")}
             )
-        dom = ex.str.extract(_DOMAIN_RE, expand=False)
+        # fillna(""): a URL with no extractable domain (https:///x)
+        # groups under '' like DuckDB regexp_extract, instead of being
+        # silently dropped by groupby's default dropna
+        dom = ex.str.extract(_DOMAIN_RE, expand=False).fillna("")
         ids = b[id_col].reindex(ex.index.to_numpy())
         g = pd.DataFrame({"domain": dom.to_numpy(object), "doc": ids.to_numpy()})
         out = g.groupby("domain", as_index=False).agg(

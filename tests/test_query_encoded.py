@@ -969,3 +969,63 @@ def test_store_distinct_property(ray_session, vals, nchunks):
         assert len(got) == len(set(vals))
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_store_topk_edge_guards(ray_session, tmp_path):
+    """k<1, non-numeric value_col and unknown columns fail loudly;
+    float NaN rows rank with nulls (never in the top-k) and never
+    poison the k-th bound."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from skar_ray.pipelines.query_encoded import store_topk
+    from skar_ray.pipelines.stats import store_distinct
+    from skar_ray.state import container, manifest
+
+    # chunk 0 is mostly NaN (its stats still bound its one real row);
+    # chunk 1 holds the true top values
+    v = [float("nan"), float("nan"), 1.5, None] + [10.0, 20.0, 30.0, 40.0]
+    ids = list(range(8))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "v": pa.array(v, type=pa.float64())})
+    out = str(tmp_path / "store")
+    os.makedirs(out)
+    container.write_container(os.path.join(out, "part-0.skarc"), t,
+                              chunk_rows=[(0, 4), (4, 4)])
+    manifest.write_manifest(out, manifest.PartitionManifest(
+        partition_id=0, status="done", n_rows=8, n_chunks=2,
+        data_file="part-0.skarc", raw_bytes=1, enc_bytes=1,
+        content_sha256=""))
+
+    got = store_topk(out, "v", k=5, id_col="doc_id")
+    assert list(got["doc_id"]) == [7, 6, 5, 4, 2]  # NaN/None rows excluded
+    assert list(got["v"]) == [40.0, 30.0, 20.0, 10.0, 1.5]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k >= 1"):
+        store_topk(out, "v", k=0)
+    t2 = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                   "s": pa.array([str(x) for x in ids])})
+    out2 = str(tmp_path / "s2")
+    os.makedirs(out2)
+    container.write_container(os.path.join(out2, "part-0.skarc"), t2)
+    manifest.write_manifest(out2, manifest.PartitionManifest(
+        partition_id=0, status="done", n_rows=8, n_chunks=1,
+        data_file="part-0.skarc", raw_bytes=1, enc_bytes=1,
+        content_sha256=""))
+    with _pytest.raises(Exception, match="numeric value_col"):
+        store_topk(out2, "s", k=3)
+    with _pytest.raises(Exception, match="not in store schema"):
+        store_topk(out2, "nope", k=3)
+    with _pytest.raises(Exception, match="not in store schema"):
+        store_distinct(out2, "nope")
+
+    # NaN dedups to ONE distinct value however many chunks carry it
+    dv = store_distinct(out, "v")
+    vals = list(dv["value"])
+    assert vals[:4] == [1.5, 10.0, 20.0, 30.0]
+    assert vals[4] == 40.0 and np.isnan(vals[5]) and vals[6] is None
+    assert len(vals) == 7
