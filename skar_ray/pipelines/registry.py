@@ -982,6 +982,39 @@ def url_domain_stats(sf_dir: str) -> pd.DataFrame:
     return text.url_domain_stats(ds)
 
 
+def _inject_paragraphs(batch: pd.DataFrame) -> pd.DataFrame:
+    """Append doc_id-derived boilerplate paragraphs (7 license variants
+    + a shared notice on every 5th doc) so the paragraph dedup has real
+    cross-document repeats to remove — same in-query synthesis
+    rationale as _inject_pii."""
+    b = batch.reset_index(drop=True)
+    d = b["doc_id"].astype("int64")
+    shared = pd.Series("\n\nSHARED NOTICE", index=b.index).where(d % 5 == 0, "")
+    aug = b["text"] + "\n\nLICENSE v" + (d % 7).astype(str) + " terms apply" + shared
+    return pd.DataFrame({"doc_id": d.to_numpy(), "text": aug.to_numpy(object)})
+
+
+def dedup_paragraphs(sf_dir: str) -> pd.DataFrame:
+    """Global first-occurrence paragraph dedup (the C4/RefinedWeb
+    repeated-paragraph cleaning step): every occurrence of a paragraph
+    except the globally first (by (doc_id, position)) is removed —
+    stages/text.dedup_paragraphs, exact via hash-count → bucketed-MIN
+    first-key exchange → broadcast rewrite.  Returns the per-doc
+    identity frame (md5 of the cleaned text) for SQL verification."""
+    ds = _docs(sf_dir).map_batches(_inject_paragraphs, batch_format="pandas")
+    out = text.dedup_paragraphs(ds, text_col="text", id_col="doc_id").to_pandas()
+    # the oracle enumerates paragraph ordinals via generate_series(1, 64)
+    if len(out) and int(out["n_paras"].max()) > 64:
+        raise ValueError("document has > 64 paragraphs; raise the oracle series cap")
+    out["clean_md5"] = out["clean_text"].map(
+        lambda s: hashlib.md5(s.encode()).hexdigest()
+    )
+    return (
+        out[["doc_id", "n_paras", "n_kept", "clean_md5"]]
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def quality_filter_stats(sf_dir: str) -> pd.DataFrame:
     """Composed quality-gate pipeline: score → threshold filter → per
     (lang, source) survivor counts — the shape of a real corpus-cleaning
@@ -2166,6 +2199,30 @@ GROUP BY m.rid, m.repo, m.path, m."commit", m.n_lines""",
         + "', 1) AS domain FROM u) "
         "SELECT domain, CAST(count(*) AS BIGINT) AS n, "
         "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM d GROUP BY domain",
+    ),
+    # paragraph dedup: the WITH chain re-derives the injected text,
+    # explodes paragraphs with ordinals, computes each paragraph's
+    # global first (doc_id, pos) key with the SAME id*2^20+pos packing
+    # the engine uses, and rebuilds every document from its kept
+    # occurrences — a hash match proves the exact removal set
+    "dedup_paragraphs": (
+        dedup_paragraphs,
+        "WITH a AS (SELECT doc_id, text || chr(10) || chr(10) || 'LICENSE v'"
+        " || CAST(doc_id % 7 AS VARCHAR) || ' terms apply'"
+        " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) || 'SHARED NOTICE'"
+        " ELSE '' END AS text FROM documents), "
+        "s AS (SELECT doc_id, str_split(text, chr(10) || chr(10)) AS ps FROM a), "
+        "p AS (SELECT doc_id, gs.i - 1 AS pos, ps[gs.i] AS para FROM s"
+        " CROSS JOIN generate_series(1, 64) gs(i) WHERE gs.i <= len(ps)), "
+        "f AS (SELECT para, min(doc_id * 1048576 + pos) AS k0 FROM p GROUP BY para), "
+        "kept AS (SELECT p.doc_id, p.pos, p.para FROM p JOIN f USING (para)"
+        " WHERE p.doc_id * 1048576 + p.pos = f.k0), "
+        "k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,"
+        " string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean"
+        " FROM kept GROUP BY doc_id) "
+        "SELECT s.doc_id, CAST(len(s.ps) AS BIGINT) AS n_paras, "
+        "COALESCE(k.n_kept, 0) AS n_kept, md5(COALESCE(k.clean, '')) AS clean_md5 "
+        "FROM s LEFT JOIN k USING (doc_id)",
     ),
     "quality_filter_stats": (
         quality_filter_stats,

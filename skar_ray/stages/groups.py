@@ -119,24 +119,31 @@ def _n_rows(t) -> int:
 
 
 @ray.remote
-def _reduce_sum_bucket(keys: list[str], vals: list[str], *parts) -> "pa.Table":
+def _reduce_sum_bucket(keys: list[str], vals: list[str], how: str, *parts) -> "pa.Table":
     import pyarrow as pa
 
     df = pd.concat([p.to_pandas() for p in parts], ignore_index=True)
-    out = df.groupby(keys, sort=False, dropna=False, as_index=False)[vals].sum()
+    out = df.groupby(keys, sort=False, dropna=False, as_index=False)[vals].agg(how)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def bucketed_sum(ds: "ray.data.Dataset", keys: list[str],
                  vals: list[str] | str,
-                 n_buckets: int | None = None) -> "ray.data.Dataset":
+                 n_buckets: int | None = None,
+                 how: str = "sum") -> "ray.data.Dataset":
     """Distributed ``SUM(vals) GROUP BY keys`` via the same raw-Ray
     coarse-hash exchange as ``bucketed_group_apply``, but with ONE
     vectorised pandas groupby-sum per bucket instead of a per-fine-group
     fn call.  ``Dataset.groupby().sum()``'s sort-based aggregate pays
     per-distinct-group Python overhead (~0.2 ms/group — 50 s measured at
     230k groups on this host), which this removes entirely; output
-    columns keep their input names (no ``sum(c)`` renames)."""
+    columns keep their input names (no ``sum(c)`` renames).
+
+    ``how`` swaps the reduction (``"min"``/``"max"``/any pandas groupby
+    reduction): the exchange co-locates EVERY row of a fine group into
+    one reduce task, so any per-group reduction over pre-aggregated
+    partials is exact — callers feeding partials must pre-aggregate
+    with the SAME how (sum-of-sums, min-of-mins)."""
     if isinstance(vals, str):
         vals = [vals]
     if n_buckets is None:
@@ -171,7 +178,7 @@ def bucketed_sum(ds: "ray.data.Dataset", keys: list[str],
     if not per_bucket_parts:
         return _empty()
     out_refs = [
-        _reduce_sum_bucket.remote(keys, vals, *parts)
+        _reduce_sum_bucket.remote(keys, vals, how, *parts)
         for _, parts in sorted(per_bucket_parts.items())
     ]
     counts = ray.get([_n_rows.remote(r) for r in out_refs])

@@ -770,3 +770,107 @@ def url_domain_stats(ds: "ray.data.Dataset", text_col: str = "text",
         out.sort_values("domain").reset_index(drop=True)
         .astype({"n": "int64", "n_docs": "int64"})
     )
+
+
+def dedup_paragraphs(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Global first-occurrence paragraph dedup — the C4/RefinedWeb
+    cleaning step that removes every repeated paragraph except its
+    globally FIRST occurrence (ordered by (id, position); within-doc
+    repeats drop too).  Exact at any scale, three passes:
+
+      1. occurrence-count exchange over paragraph HASHES (16 B per
+         batch-distinct paragraph) → candidates with count ≥ 2;
+      2. candidate occurrences re-keyed by EXACT text through a
+         bucketed MIN exchange (a hash collision only adds a stray
+         candidate whose own first occurrence keeps — never a wrong
+         removal) → {paragraph: first_key}, broadcast once via
+         ``ray.put`` — bounded by the DISTINCT duplicated paragraphs,
+         the same driver-size class as the dedup keep-lists;
+      3. one streaming rewrite pass drops occurrences whose
+         (id, position) key is not the first.
+
+    Output: input columns minus ``text_col`` plus ``clean_<text_col>``
+    / ``n_paras`` / ``n_kept``.  Keys pack as id·2^20 + pos (loud
+    guards), matching the SQL oracle's arithmetic.
+    Reference analog: the dedup/compaction passes the reference runs
+    before flushing folders (skar_runner.rs:233-308 ordering work).
+    """
+    import ray
+
+    from .groups import bucketed_sum, cached_get
+
+    _POS_LIMIT = 1 << 20
+
+    def paragraphs(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[text_col].reset_index(drop=True).str.split("\n\n", regex=False).explode()
+        pos = ex.groupby(level=0).cumcount().to_numpy(np.int64)
+        if len(pos) and pos.max() >= _POS_LIMIT:
+            raise ValueError(f"document has >= 2^20 paragraphs; key packing unsound")
+        ids = b[id_col].reset_index(drop=True).reindex(ex.index).to_numpy(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 42)):
+            raise ValueError(f"{id_col} must be in [0, 2^42) to pack with position")
+        return pd.DataFrame({
+            "key": ids * _POS_LIMIT + pos,
+            "para": ex.to_numpy(object),
+        })
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = paragraphs(b)
+        vc = pd.Series(_line_hashes(p["para"].to_numpy(object))).value_counts(sort=False)
+        return pd.DataFrame({"h": vc.index.to_numpy(np.int64), "c": vc.to_numpy(np.int64)})
+
+    cand_df = (
+        bucketed_sum(ds.map_batches(count_partial, batch_format="pandas"), ["h"], "c")
+        .map_batches(lambda b: b.loc[b["c"] >= 2, ["h"]], batch_format="pandas")
+        .to_pandas()
+    )
+    cand = np.sort(cand_df["h"].to_numpy(np.int64)) if "h" in cand_df else np.array([], dtype=np.int64)
+
+    dup_map: dict = {}
+    if len(cand):
+        cand_ref = ray.put(cand)
+
+        def min_partial(b: pd.DataFrame) -> pd.DataFrame:
+            cand_ = cached_get(cand_ref)
+            p = paragraphs(b)
+            h = _line_hashes(p["para"].to_numpy(object))
+            pos = np.searchsorted(cand_, h)
+            pos[pos == len(cand_)] = 0
+            p = p.loc[cand_[pos] == h]
+            if not len(p):
+                return pd.DataFrame({"para": pd.Series([], dtype="object"),
+                                     "key": pd.Series([], dtype="int64")})
+            return p.groupby("para", as_index=False)["key"].min()
+
+        firsts = bucketed_sum(
+            ds.map_batches(min_partial, batch_format="pandas"),
+            ["para"], "key", how="min",
+        ).to_pandas()
+        if "para" in firsts and len(firsts):
+            dup_map = dict(zip(firsts["para"], firsts["key"].astype(np.int64)))
+
+    map_ref = ray.put(dup_map)
+
+    def rewrite(b: pd.DataFrame) -> pd.DataFrame:
+        dup = cached_get(map_ref)
+        bb = b.reset_index(drop=True)
+        splits = bb[text_col].str.split("\n\n", regex=False)
+        ex = splits.explode()
+        pos = ex.groupby(level=0).cumcount().to_numpy(np.int64)
+        ids = bb[id_col].reindex(ex.index).to_numpy(np.int64)
+        key = ids * _POS_LIMIT + pos
+        mk = ex.map(dup)
+        keep = mk.isna().to_numpy() | (mk.to_numpy() == key)
+        joined = ex[keep].groupby(level=0).agg("\n\n".join)
+        out = bb.drop(columns=[text_col])
+        out[f"clean_{text_col}"] = joined.reindex(bb.index, fill_value="")
+        out["n_paras"] = splits.str.len().to_numpy(np.int64)
+        out["n_kept"] = (
+            pd.Series(keep).groupby(ex.index.to_numpy()).sum()
+            .reindex(bb.index, fill_value=0).to_numpy(np.int64)
+        )
+        return out
+
+    return ds.map_batches(rewrite, batch_format="pandas")

@@ -662,3 +662,44 @@ def test_url_domain_stats_bruteforce(ray_session):
     assert list(got["domain"]) == ["a.org", "b.com", "c.net"]
     assert list(got["n"]) == [4, 1, 1]
     assert list(got["n_docs"]) == [2, 1, 1]
+
+
+def test_dedup_paragraphs_matches_bruteforce(ray_session):
+    """Hand-built corpus with cross-doc repeats, WITHIN-doc repeats,
+    an all-duplicate doc and an empty doc: only globally-first
+    occurrences (by (doc_id, pos)) survive."""
+    import pandas as pd
+    import ray
+
+    from skar_ray.stages import text
+
+    docs = [
+        "A\n\nB\n\nA",        # doc 0: within-doc repeat of A (pos 2 drops)
+        "B\n\nC",             # doc 1: B first seen in doc 0 -> drops
+        "A\n\nB",             # doc 2: both drop entirely
+        "",                   # doc 3: one empty paragraph (first '' seen)
+        "D",                  # doc 4: unique, untouched
+        "",                   # doc 5: '' repeat of doc 3 -> drops
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    got = (
+        text.dedup_paragraphs(ray.data.from_pandas(df))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # brute force
+    first = {}
+    for i, t in enumerate(docs):
+        for j, p in enumerate(t.split("\n\n")):
+            first.setdefault(p, (i, j))
+    want_clean, want_kept, want_paras = [], [], []
+    for i, t in enumerate(docs):
+        ps = t.split("\n\n")
+        kept = [p for j, p in enumerate(ps) if first[p] == (i, j)]
+        want_clean.append("\n\n".join(kept))
+        want_kept.append(len(kept))
+        want_paras.append(len(ps))
+    assert list(got["clean_text"]) == want_clean
+    assert list(got["n_kept"]) == want_kept
+    assert list(got["n_paras"]) == want_paras
+    assert got.loc[2, "n_kept"] == 0 and got.loc[2, "clean_text"] == ""
+    assert got.loc[0, "clean_text"] == "A\n\nB"
