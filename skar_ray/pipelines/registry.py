@@ -982,6 +982,31 @@ def url_domain_stats(sf_dir: str) -> pd.DataFrame:
     return text.url_domain_stats(ds)
 
 
+def _inject_decomposed(batch: pd.DataFrame) -> pd.DataFrame:
+    """Append doc_id-derived DECOMPOSED Unicode (combining acute,
+    ANGSTROM SIGN compatibility singleton) so NFC normalization has
+    real work — same in-query synthesis rationale as _inject_pii."""
+    b = batch.reset_index(drop=True)
+    d = b["doc_id"].astype("int64")
+    aug = (
+        b["text"] + " cafe\u0301 No" + (d % 3).astype(str) + "\u212b"
+    ).where(d % 2 == 0, b["text"])  # odd docs stay ASCII: changed=0 rows exist
+    return pd.DataFrame({"doc_id": d.to_numpy(), "text": aug.to_numpy(object)})
+
+
+def normalize_nfc(sf_dir: str) -> pd.DataFrame:
+    """Unicode NFC normalization report (md5 of the normalized text,
+    normalized length, changed flag) — stages/text.NfcNormalizer over
+    text augmented with deterministic decomposed sequences."""
+    out = (
+        _docs(sf_dir)
+        .map_batches(_inject_decomposed, batch_format="pandas")
+        .map_batches(text.NfcNormalizer, batch_format="pandas", concurrency=pool_size())
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _inject_paragraphs(batch: pd.DataFrame) -> pd.DataFrame:
     """Append doc_id-derived boilerplate paragraphs (7 license variants
     + a shared notice on every 5th doc) so the paragraph dedup has real
@@ -2199,6 +2224,15 @@ GROUP BY m.rid, m.repo, m.path, m."commit", m.n_lines""",
         + "', 1) AS domain FROM u) "
         "SELECT domain, CAST(count(*) AS BIGINT) AS n, "
         "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM d GROUP BY domain",
+    ),
+    "normalize_nfc": (
+        normalize_nfc,
+        "WITH a AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN"
+        " text || ' cafe' || chr(769) || ' No' || CAST(doc_id % 3 AS VARCHAR) || chr(8491)"
+        " ELSE text END AS text FROM documents) "
+        "SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5, "
+        "CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_len, "
+        "CAST(nfc_normalize(text) != text AS BIGINT) AS changed FROM a",
     ),
     # paragraph dedup: the WITH chain re-derives the injected text,
     # explodes paragraphs with ordinals, computes each paragraph's

@@ -874,3 +874,26 @@ def dedup_paragraphs(
         return out
 
     return ds.map_batches(rewrite, batch_format="pandas")
+
+
+class NfcNormalizer:
+    """doc_id, nfc_md5, nfc_len, changed — Unicode NFC normalization,
+    the canonical-composition cleanup (decomposed e+COMBINING ACUTE,
+    compatibility singletons like ANGSTROM SIGN) run before hashing /
+    dedup so byte-different spellings of the same text unify.  Python
+    ``unicodedata`` and DuckDB ``nfc_normalize`` both implement Unicode
+    canonical composition, so the oracle recomputes the md5 exactly."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import unicodedata
+
+        t = batch["text"]
+        nfc = t.map(lambda s: unicodedata.normalize("NFC", s))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "nfc_md5": nfc.map(lambda s: hashlib.md5(s.encode()).hexdigest()),
+                "nfc_len": nfc.str.len().astype("int64"),
+                "changed": (nfc != t).astype("int64"),
+            }
+        )

@@ -703,3 +703,18 @@ def test_dedup_paragraphs_matches_bruteforce(ray_session):
     assert list(got["n_paras"]) == want_paras
     assert got.loc[2, "n_kept"] == 0 and got.loc[2, "clean_text"] == ""
     assert got.loc[0, "clean_text"] == "A\n\nB"
+
+
+def test_nfc_normalizer_composes(ray_session):
+    import hashlib
+    import pandas as pd
+
+    from skar_ray.stages import text
+
+    docs = ["cafe\u0301", "\u212b", "plain", ""]
+    df = pd.DataFrame({"doc_id": range(4), "text": docs})
+    out = text.NfcNormalizer()(df)
+    assert list(out["changed"]) == [1, 1, 0, 0]
+    assert list(out["nfc_len"]) == [4, 1, 5, 0]  # e+combining -> U+00E9
+    assert out.loc[0, "nfc_md5"] == hashlib.md5("caf\u00e9".encode()).hexdigest()
+    assert out.loc[1, "nfc_md5"] == hashlib.md5("\u00c5".encode()).hexdigest()
