@@ -84,3 +84,29 @@ def test_bucketed_sum_empty(ray_session):
     # is the contract (callers guard `if "col" not in df` driver-side)
     assert out.schema().names == ["k", "c"]
     assert len(out.to_pandas()) == 0
+
+
+def test_bucketed_sum_how_min_max(ray_session):
+    """how= swaps the per-group reduction: every row of a fine group
+    lands in one reduce task, so min/max over partials are exact."""
+    import numpy as np
+    import ray.data
+
+    from skar_ray.stages.groups import bucketed_sum
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, 500),
+        "v": rng.integers(-10_000, 10_000, 500),
+    })
+    ds = ray.data.from_pandas(df).repartition(7)
+    for how in ("min", "max"):
+        got = (
+            bucketed_sum(ds, ["k"], "v", how=how).to_pandas()
+            .sort_values("k").reset_index(drop=True)
+        )
+        want = (
+            df.groupby("k", as_index=False)["v"].agg(how)
+            .sort_values("k").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
