@@ -452,6 +452,16 @@ def _distinct_doc_lines(texts: pd.Series) -> pd.DataFrame:
     ).drop_duplicates(ignore_index=True)
 
 
+def _in_sorted(cand: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Membership mask of ``h`` in the SORTED non-empty array ``cand``
+    — the broadcast-candidate probe shared by every two-pass exact
+    recount (clamping the out-of-range position to 0 is safe: that
+    slot compares unequal unless it IS the value)."""
+    pos = np.searchsorted(cand, h)
+    pos[pos == len(cand)] = 0
+    return cand[pos] == h
+
+
 def _line_hashes(lines: np.ndarray) -> np.ndarray:
     # deterministic across processes (siphash with pandas' fixed
     # default key) — and correctness never depends on it: pass 2
@@ -529,9 +539,7 @@ def _frequent_items(
         cand_ = cached_get(cand_ref)
         d = extract(batch)
         h = _line_hashes(d["item"].to_numpy(object))
-        pos = np.searchsorted(cand_, h)
-        pos[pos == len(cand_)] = 0
-        vc = d.loc[cand_[pos] == h, "item"].value_counts(sort=False)
+        vc = d.loc[_in_sorted(cand_, h), "item"].value_counts(sort=False)
         return pd.DataFrame(
             {"item": vc.index.to_numpy(object), "c": vc.to_numpy(np.int64)}
         )
@@ -836,9 +844,7 @@ def dedup_paragraphs(
             cand_ = cached_get(cand_ref)
             p = paragraphs(b)
             h = _line_hashes(p["para"].to_numpy(object))
-            pos = np.searchsorted(cand_, h)
-            pos[pos == len(cand_)] = 0
-            p = p.loc[cand_[pos] == h]
+            p = p.loc[_in_sorted(cand_, h)]
             if not len(p):
                 return pd.DataFrame({"para": pd.Series([], dtype="object"),
                                      "key": pd.Series([], dtype="int64")})
@@ -862,7 +868,15 @@ def dedup_paragraphs(
         ids = bb[id_col].reindex(ex.index).to_numpy(np.int64)
         key = ids * _POS_LIMIT + pos
         mk = ex.map(dup)
-        keep = mk.isna().to_numpy() | (mk.to_numpy() == key)
+        # compare in INTEGER space: mk is an object series (dict ints +
+        # NaN) and a .to_numpy()/float64 path would round keys above
+        # 2^53, silently keeping duplicates for doc_id >= 2^33 — inside
+        # the [0, 2^42) range the guard above allows.  fillna(-1) is
+        # exact (object ints never pass through float) and -1 never
+        # equals a real key (keys are >= 0).
+        keep = mk.isna().to_numpy() | (
+            mk.fillna(-1).astype("int64").to_numpy() == key
+        )
         joined = ex[keep].groupby(level=0).agg("\n\n".join)
         out = bb.drop(columns=[text_col])
         out[f"clean_{text_col}"] = joined.reindex(bb.index, fill_value="")

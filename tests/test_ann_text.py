@@ -718,3 +718,26 @@ def test_nfc_normalizer_composes(ray_session):
     assert list(out["nfc_len"]) == [4, 1, 5, 0]  # e+combining -> U+00E9
     assert out.loc[0, "nfc_md5"] == hashlib.md5("caf\u00e9".encode()).hexdigest()
     assert out.loc[1, "nfc_md5"] == hashlib.md5("\u00c5".encode()).hexdigest()
+
+
+def test_dedup_paragraphs_large_doc_ids_stay_exact(ray_session):
+    """Regression: keys compared through float64 would collapse
+    adjacent (doc_id, pos) keys for doc_id >= 2^33 (float64 has 53
+    mantissa bits; key = id*2^20 + pos) and silently KEEP a within-doc
+    duplicate.  Integer-space comparison must drop it."""
+    import pandas as pd
+    import ray
+
+    from skar_ray.stages import text
+
+    big = 1 << 34  # inside the [0, 2^42) guard, beyond float64 exactness
+    df = pd.DataFrame({
+        "doc_id": [big, big + 1],
+        "text": ["P\n\nP\n\nQ", "P"],  # within-doc repeat + cross-doc repeat
+    })
+    got = (
+        text.dedup_paragraphs(ray.data.from_pandas(df))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(got["clean_text"]) == ["P\n\nQ", ""]
+    assert list(got["n_kept"]) == [2, 0]
