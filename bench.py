@@ -178,7 +178,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         from skar_ray.pipelines.registry import PHASE_TIMINGS, QUERIES
 
         for name in ["agg_q1", "range_filter", "semi_join", "token_count", "dedup_minhash",
-                     "dedup_lines", "ann_bruteforce", "ann_ivf", "query_encoded_documents",
+                     "dedup_lines", "dedup_paragraphs", "pii_scrub",
+                     "ann_bruteforce", "ann_ivf", "query_encoded_documents",
                      "query_encoded_join", "session_window", "pack_sequences",
                      "cluster_kmeans"]:
             # ann_ivf: run 1 builds the persisted index (cached under
