@@ -982,6 +982,45 @@ def url_domain_stats(sf_dir: str) -> pd.DataFrame:
     return text.url_domain_stats(ds)
 
 
+def curation_pipeline(sf_dir: str) -> pd.DataFrame:
+    """End-to-end curation capstone — the composed pipeline a
+    training-data user actually runs, each stage one of the verified
+    operators above: quality gate (length + alpha-ratio, integer-exact)
+    → exact dedup keep-first (stages/dedup.exact_dedup) → per-language
+    512-token sequence packing (stages/training.pack_sequences,
+    distributed prefix sum).  The survivor-id set is broadcast for the
+    final filter (bounded at bench scale; the 100-TB path swaps in the
+    bucketed anti-join the dedup keep pipelines already use).  The SQL
+    oracle chains the same three stages, so the hash match proves the
+    composition end-to-end, not just the parts."""
+    import numpy as np
+
+    from ..stages import dedup as dedup_mod
+    from ..stages.text import _in_sorted
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"]
+        n_chars = texts.str.len().astype("int64")
+        n_alpha = texts.str.count(r"[A-Za-z]").astype("int64")
+        keep = (n_chars >= 100) & (n_alpha * 2 >= n_chars)
+        return batch.loc[keep, ["doc_id", "lang", "text"]]
+
+    gated = _docs(sf_dir).map_batches(gate, batch_format="pandas")
+    kept = dedup_mod.exact_dedup(gated).to_pandas()
+    ids = np.sort(kept["doc_id"].to_numpy(np.int64))
+    ids_ref = ray.put(ids)
+
+    def keep_first(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.groups import cached_get
+
+        ids_ = cached_get(ids_ref)
+        b = gate(batch)
+        return b.loc[_in_sorted(ids_, b["doc_id"].to_numpy(np.int64))]
+
+    survivors = _docs(sf_dir).map_batches(keep_first, batch_format="pandas")
+    return training.pack_sequences(survivors)
+
+
 def _inject_decomposed(batch: pd.DataFrame) -> pd.DataFrame:
     """Append doc_id-derived DECOMPOSED Unicode (combining acute,
     ANGSTROM SIGN compatibility singleton) so NFC normalization has
@@ -2224,6 +2263,22 @@ GROUP BY m.rid, m.repo, m.path, m."commit", m.n_lines""",
         + "', 1) AS domain FROM u) "
         "SELECT domain, CAST(count(*) AS BIGINT) AS n, "
         "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM d GROUP BY domain",
+    ),
+    # the composed curation chain: gate -> keep-first dedup -> pack,
+    # every stage re-derived in one SQL pipeline (same rules as the
+    # quality_filter_stats / dedup_exact / pack_sequences oracles)
+    "curation_pipeline": (
+        curation_pipeline,
+        "WITH g AS (SELECT doc_id, lang, text FROM documents"
+        " WHERE length(text) >= 100"
+        " AND 2 * len(regexp_extract_all(text, '[A-Za-z]')) >= length(text)), "
+        "k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY text), "
+        "d AS (SELECT g.doc_id, g.lang, g.text FROM g JOIN k USING (doc_id)), "
+        "t AS (SELECT doc_id, lang, len(regexp_extract_all(text, '\\S+')) AS n FROM d), "
+        "c AS (SELECT doc_id, lang,"
+        " sum(n) OVER (PARTITION BY lang ORDER BY doc_id) - n AS prior FROM t) "
+        "SELECT doc_id, lang, CAST(prior // 512 AS BIGINT) AS seq_id,"
+        " CAST(prior % 512 AS BIGINT) AS tok_start FROM c",
     ),
     "normalize_nfc": (
         normalize_nfc,
