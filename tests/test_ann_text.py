@@ -741,3 +741,37 @@ def test_dedup_paragraphs_large_doc_ids_stay_exact(ray_session):
     )
     assert list(got["clean_text"]) == ["P\n\nQ", ""]
     assert list(got["n_kept"]) == [2, 0]
+
+
+def test_dedup_paragraphs_property(ray_session):
+    """Randomized corpora (seeded, 20 draws): dedup_paragraphs ==
+    brute-force global first-occurrence keep."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from skar_ray.stages import text
+
+    rng = np.random.default_rng(99)
+    vocab = ["A", "B", "C", "x y", "z z", ""]
+    for _ in range(20):
+        n_docs = int(rng.integers(1, 9))
+        texts = [
+            "\n\n".join(rng.choice(vocab, size=rng.integers(0, 6)).tolist())
+            for _ in range(n_docs)
+        ]
+        df = pd.DataFrame({"doc_id": range(n_docs), "text": texts})
+        got = (
+            text.dedup_paragraphs(ray.data.from_pandas(df))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        first = {}
+        for i, t in enumerate(texts):
+            for j, p in enumerate(t.split("\n\n")):
+                first.setdefault(p, (i, j))
+        for i, t in enumerate(texts):
+            ps = t.split("\n\n")
+            kept = [p for j, p in enumerate(ps) if first[p] == (i, j)]
+            assert got.loc[i, "clean_text"] == "\n\n".join(kept), (texts, i)
+            assert got.loc[i, "n_kept"] == len(kept)
+            assert got.loc[i, "n_paras"] == len(ps)
