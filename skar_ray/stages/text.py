@@ -782,6 +782,7 @@ def url_domain_stats(ds: "ray.data.Dataset", text_col: str = "text",
 
 def dedup_paragraphs(
     ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id",
+    max_dup: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Global first-occurrence paragraph dedup — the C4/RefinedWeb
     cleaning step that removes every repeated paragraph except its
@@ -801,7 +802,11 @@ def dedup_paragraphs(
 
     Output: input columns minus ``text_col`` plus ``clean_<text_col>``
     / ``n_paras`` / ``n_kept``.  Keys pack as id·2^20 + pos (loud
-    guards), matching the SQL oracle's arithmetic.
+    guards), matching the SQL oracle's arithmetic.  ``max_dup`` bounds
+    the broadcast: past that many DISTINCT duplicated paragraphs the
+    job raises loudly instead of shipping a corpus-sized text map —
+    the 100-TB path is the bucketed anti-join the dedup keep pipelines
+    use (dedup.py ``connected_components_distributed`` gate pattern).
     Reference analog: the dedup/compaction passes the reference runs
     before flushing folders (skar_runner.rs:233-308 ordering work).
     """
@@ -835,6 +840,12 @@ def dedup_paragraphs(
         .to_pandas()
     )
     cand = np.sort(cand_df["h"].to_numpy(np.int64)) if "h" in cand_df else np.array([], dtype=np.int64)
+    if len(cand) > max_dup:
+        raise ValueError(
+            f"{len(cand)} distinct duplicated paragraphs exceeds max_dup="
+            f"{max_dup}; the broadcast first-key map would be corpus-sized "
+            "— use the bucketed anti-join path for this corpus"
+        )
 
     dup_map: dict = {}
     if len(cand):

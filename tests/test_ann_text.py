@@ -775,3 +775,17 @@ def test_dedup_paragraphs_property(ray_session):
             assert got.loc[i, "clean_text"] == "\n\n".join(kept), (texts, i)
             assert got.loc[i, "n_kept"] == len(kept)
             assert got.loc[i, "n_paras"] == len(ps)
+
+
+def test_dedup_paragraphs_max_dup_guard(ray_session):
+    """Past the broadcast cap the job must fail loudly, not ship a
+    corpus-sized paragraph map."""
+    import pandas as pd
+    import pytest as _pytest
+    import ray
+
+    from skar_ray.stages import text
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["A\n\nB", "A\n\nB"]})
+    with _pytest.raises(ValueError, match="max_dup"):
+        text.dedup_paragraphs(ray.data.from_pandas(df), max_dup=1).to_pandas()
