@@ -152,7 +152,12 @@ def cmd_distinct(a) -> dict:
     from .pipelines.stats import store_distinct
 
     res, info = store_distinct(a.store, a.column, with_info=True)
-    return {"values": list(res["value"]), **info}
+    # a float NaN distinct value would serialize as the bare token NaN,
+    # which RFC 8259 parsers reject — emit the string "NaN" instead
+    vals = [
+        "NaN" if isinstance(v, float) and v != v else v for v in res["value"]
+    ]
+    return {"values": vals, **info}
 
 
 def build_parser() -> argparse.ArgumentParser:

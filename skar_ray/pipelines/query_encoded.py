@@ -329,6 +329,22 @@ def query_encoded_with_tail(
     return enc.union(tail)
 
 
+def _rank_order(v, i, descending: bool):
+    """Sort order for (value, id) ranking WITHOUT negation: numpy
+    unsigned negation wraps (0 would rank as the uint maximum) and
+    int64 min negates to itself.  Stable two-pass argsort: ids
+    (reversed for descending) then values; reversing the composed
+    ascending order yields value-descending with id-ascending ties."""
+    import numpy as np
+
+    if descending:
+        o = np.argsort(i, kind="stable")[::-1]
+        o = o[np.argsort(v[o], kind="stable")]
+        return o[::-1]
+    o = np.argsort(i, kind="stable")
+    return o[np.argsort(v[o], kind="stable")]
+
+
 def store_topk(
     out_dir: str,
     value_col: str,
@@ -467,7 +483,7 @@ def store_topk(
             return np.array([]), np.array([])
         v = np.concatenate(vs)
         i = np.concatenate(ids)
-        order = np.lexsort((i, -v if descending else v))[:k]
+        order = _rank_order(v, i, descending)[:k]
         return v[order], i[order]
 
     bound_refs = {pid: chunk_bounds.remote(p) for pid, p in paths.items()}
@@ -508,7 +524,7 @@ def store_topk(
         if n_rows_seen >= k:
             v = np.concatenate(v_parts)
             i = np.concatenate(i_parts)
-            order = np.lexsort((i, -v if descending else v))
+            order = _rank_order(v, i, descending)
             v_k = v[order[k - 1]]
             batch = [
                 c for c in pending
@@ -516,12 +532,15 @@ def store_topk(
             ]
             pending = []
         else:
-            batch, cum = [], 0
+            # advance by index — pop(0) would be O(n²) in the chunk count
+            batch, cum, pos = [], 0, 0
             need = k - n_rows_seen
-            while pending and cum < need:
-                c = pending.pop(0)
+            while pos < len(pending) and cum < need:
+                c = pending[pos]
+                pos += 1
                 batch.append(c)
                 cum += c[4]
+            pending = pending[pos:]
         if not batch:
             break
         n_decoded += len(batch)
@@ -536,7 +555,7 @@ def store_topk(
     else:
         v = np.array([], dtype=np.int64)
         i = np.array([], dtype=np.int64)
-    order = np.lexsort((i, -v if descending else v))[:k]
+    order = _rank_order(v, i, descending)[:k]
     out = pd.DataFrame({id_col: i[order], value_col: v[order]})
     if with_info:
         return out, {

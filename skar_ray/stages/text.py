@@ -817,7 +817,13 @@ def dedup_paragraphs(
     _POS_LIMIT = 1 << 20
 
     def paragraphs(b: pd.DataFrame) -> pd.DataFrame:
-        ex = b[text_col].reset_index(drop=True).str.split("\n\n", regex=False).explode()
+        # null text counts as empty (real web corpora carry NULL rows;
+        # a NaN paragraph would crash the rewrite join) — same one-
+        # empty-paragraph result both engines give for ''
+        ex = (
+            b[text_col].reset_index(drop=True).fillna("")
+            .str.split("\n\n", regex=False).explode()
+        )
         pos = ex.groupby(level=0).cumcount().to_numpy(np.int64)
         if len(pos) and pos.max() >= _POS_LIMIT:
             raise ValueError(f"document has >= 2^20 paragraphs; key packing unsound")
@@ -873,7 +879,7 @@ def dedup_paragraphs(
     def rewrite(b: pd.DataFrame) -> pd.DataFrame:
         dup = cached_get(map_ref)
         bb = b.reset_index(drop=True)
-        splits = bb[text_col].str.split("\n\n", regex=False)
+        splits = bb[text_col].fillna("").str.split("\n\n", regex=False)
         ex = splits.explode()
         pos = ex.groupby(level=0).cumcount().to_numpy(np.int64)
         ids = bb[id_col].reindex(ex.index).to_numpy(np.int64)

@@ -789,3 +789,20 @@ def test_dedup_paragraphs_max_dup_guard(ray_session):
     df = pd.DataFrame({"doc_id": [0, 1], "text": ["A\n\nB", "A\n\nB"]})
     with _pytest.raises(ValueError, match="max_dup"):
         text.dedup_paragraphs(ray.data.from_pandas(df), max_dup=1).to_pandas()
+
+
+def test_dedup_paragraphs_null_text(ray_session):
+    """NULL text rows must behave as empty text, not crash the rewrite."""
+    import pandas as pd
+    import ray
+
+    from skar_ray.stages import text
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["A", None, "A"]})
+    got = (
+        text.dedup_paragraphs(ray.data.from_pandas(df))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(got["clean_text"]) == ["A", "", ""]
+    # null == empty paragraph: doc 1 keeps it (first ''), doc 2's A drops
+    assert list(got["n_kept"]) == [1, 1, 0]

@@ -1029,3 +1029,42 @@ def test_store_topk_edge_guards(ray_session, tmp_path):
     assert vals[:4] == [1.5, 10.0, 20.0, 30.0]
     assert vals[4] == 40.0 and np.isnan(vals[5]) and vals[6] is None
     assert len(vals) == 7
+
+
+def test_store_topk_unsigned_and_intmin(ray_session, tmp_path):
+    """Regression: numpy unsigned negation wraps (0 would rank as the
+    uint maximum) and int64 min negates to itself — ranking must not
+    negate.  uint64 values including 0 and int64 values including the
+    extreme minimum both order correctly, both directions."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from skar_ray.pipelines.query_encoded import store_topk
+    from skar_ray.state import container, manifest
+
+    def mk(tmpname, arr, typ):
+        t = pa.table({"doc_id": pa.array(range(len(arr)), type=pa.int64()),
+                      "v": pa.array(arr, type=typ)})
+        out = str(tmp_path / tmpname)
+        os.makedirs(out)
+        container.write_container(os.path.join(out, "part-0.skarc"), t)
+        manifest.write_manifest(out, manifest.PartitionManifest(
+            partition_id=0, status="done", n_rows=len(arr), n_chunks=1,
+            data_file="part-0.skarc", raw_bytes=1, enc_bytes=1,
+            content_sha256=""))
+        return out
+
+    u = [0, 1, 5, 3, 0]
+    out_u = mk("u64", u, pa.uint64())
+    got = store_topk(out_u, "v", k=2, id_col="doc_id")
+    assert list(got["v"]) == [5, 3] and list(got["doc_id"]) == [2, 3]
+    got_a = store_topk(out_u, "v", k=2, id_col="doc_id", descending=False)
+    assert list(got_a["v"]) == [0, 0] and list(got_a["doc_id"]) == [0, 4]
+
+    s = [np.iinfo(np.int64).min, -1, 7]
+    out_s = mk("i64", s, pa.int64())
+    got_s = store_topk(out_s, "v", k=3, id_col="doc_id")
+    assert list(got_s["v"]) == [7, -1, np.iinfo(np.int64).min]
